@@ -1,0 +1,132 @@
+"""Text-analysis column expressions — all JVM-side (whole-stage codegen).
+
+These are the engine's fast-path text ops: word tokens, shingles, quality
+metrics, language-ID heuristics, fingerprints. The reference does all of
+this in per-row Python (``/root/reference/src/parsers.py``,
+``src/simple_dataset.py:110-143``); here everything except the
+reference-fidelity Treebank tokenizer (see ``entity_linking_spark.tokenize``)
+is pure Catalyst expressions so Catalyst can pushdown/prune around them.
+
+Every function has an ``sql_*`` twin producing the equivalent DuckDB SQL so
+the driver's oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from entity_linking_spark.hashing import md5hash64, sql_md5hash64
+
+# Accent folding table (unidecode-lite). The reference normalizes block keys
+# with unidecode().lower() (/root/reference/src/utils.py:72-77); this folds
+# the Latin-1/Latin-ext accents that occur in web text. Deterministic and
+# identical in Spark (translate) and DuckDB (translate).
+_ACCENT_PAIRS = [
+    ("áàâäãåā", "a"), ("çćč", "c"), ("éèêëēě", "e"), ("íìîïī", "i"),
+    ("ñń", "n"), ("òóôöõøō", "o"), ("úùûüū", "u"), ("ýÿ", "y"),
+    ("žźż", "z"), ("šś", "s"), ("ğ", "g"), ("ı", "i"), ("İ", "I"),
+    ("ÁÀÂÄÃÅĀ", "A"), ("ÇĆČ", "C"), ("ÉÈÊËĒĚ", "E"), ("ÍÌÎÏĪ", "I"),
+    ("ÑŃ", "N"), ("ÒÓÔÖÕØŌ", "O"), ("ÚÙÛÜŪ", "U"), ("Ý", "Y"),
+    ("ŽŹŻ", "Z"), ("ŠŚ", "S"), ("Ğ", "G"), ("ß", "s"),
+]
+_ACCENT_SRC = "".join(src for src, _ in _ACCENT_PAIRS)
+_ACCENT_DST = "".join(dst * len(src) for src, dst in _ACCENT_PAIRS)
+assert len(_ACCENT_SRC) == len(_ACCENT_DST)
+
+
+def fold_ascii(c: Column) -> Column:
+    """Accent-fold + lowercase — the normalized-key function.
+
+    Reference analog: ``unidecode.unidecode(mention).lower()``
+    (``/root/reference/src/utils.py:72-77``, ``src/data_fetchers.py:95``).
+    """
+    return F.lower(F.translate(c, _ACCENT_SRC, _ACCENT_DST))
+
+
+def sql_fold_ascii(expr: str) -> str:
+    return f"lower(translate({expr}, '{_ACCENT_SRC}', '{_ACCENT_DST}'))"
+
+
+def words(c: Column) -> Column:
+    """Lowercased word tokens: split on non-alphanumeric runs."""
+    return F.filter(
+        F.split(fold_ascii(c), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+
+
+def sql_words(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex({sql_fold_ascii(expr)}, '[^a-z0-9]+'),"
+        f" x -> x <> '')"
+    )
+
+
+def word_shingles(tokens: Column, k: int) -> Column:
+    """k-token shingles joined by a single space. Empty array if < k tokens.
+
+    Pure column ops (sequence + transform + slice): no UDF, so shingling
+    stays inside codegen even at 10^12-document scale.
+    """
+    n = F.size(tokens)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))
+    )
+
+
+def sql_word_shingles(tokens_expr: str, k: int) -> str:
+    # DuckDB: generate_subscripts-style via range + list_slice
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {k} THEN "
+        f"[array_to_string(list_slice({tokens_expr}, i+1, i+{k}), ' ') "
+        f"  for i in range(0, len({tokens_expr}) - {k} + 1)] "
+        f"ELSE [] END"
+    )
+
+
+def char_shingles(c: Column, k: int) -> Column:
+    """k-char shingles of the normalized text (for MinHash over short docs)."""
+    norm = F.regexp_replace(fold_ascii(c), "[^a-z0-9]+", " ")
+    n = F.length(norm)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.substring(norm, i, F.lit(k)))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(words(c))
+
+
+def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
+    n = F.size(tokens)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(tokens, lambda t: t.isin(stopwords))) / n
+    )
+
+
+def fingerprint(tokens: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    per-token md5 hashes, mod 2^31-1. Cross-engine deterministic.
+
+    Reference analog: content-addressed run naming via sha256 of params
+    (``/root/reference/src/experiment.py:56-61``) — here applied per
+    document for dedup/lineage.
+    """
+    tok_h = F.transform(tokens, lambda t: md5hash64(t) % 1000003)
+    return F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % 2147483647,
+    )
+
+
+def sql_fingerprint(tokens_expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::bigint, "
+        f"[{sql_md5hash64('t')} % 1000003 for t in {tokens_expr}]), "
+        f"(acc, h) -> (acc * 131 + h) % 2147483647)"
+    )

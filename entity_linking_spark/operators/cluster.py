@@ -1,0 +1,132 @@
+"""Distributed transitive closure: connected components on an edge list.
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SOCC'14 — public algorithm), implemented as
+iterated DataFrame self-joins with per-iteration ``localCheckpoint`` to
+truncate lineage. Converges in O(log² n) rounds; each round is two
+shuffle-keyed aggregations.
+
+Reference analog: the per-document one-round max-product message passing
+(``/root/reference/src/max_product.py:60-82``) enforces cross-mention
+consistency; at web scale the same role — making linkage decisions
+transitively consistent — is played by connected components over the
+above-threshold edge set (SURVEY.md §3.3).
+
+Node ids are int64. String ids (urls) should be mapped through
+``md5hash64`` or a dictionary first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the min of
+    N(u) ∪ {u}."""
+    bidir = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbr_min = bidir.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+    m = bidir.join(nbr_min, "src").select(
+        "src",
+        "dst",
+        F.least(F.col("src"), F.col("min_nbr")).alias("m"),
+    )
+    return (
+        m.where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each node u connect all of its ≤ neighbors
+    (and u) to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    nbr_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    joined = oriented.join(nbr_min, "src")
+    out = joined.select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    ).union(joined.select(F.col("src"), F.col("m").alias("dst")))
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """→ (node, component) where component = min node id in the component.
+
+    Convergence: the star-contraction fixpoint — iterate until the edge set
+    is unchanged (checked via count + sum-of-hashes, one aggregate per
+    round). Every round localCheckpoints to keep the plan O(1) deep.
+    """
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # node set comes from the raw edges: a node appearing only in a
+    # self-loop is still a (singleton) component
+    nodes = raw.select(F.col("src").alias("node")).union(
+        raw.select(F.col("dst").alias("node"))
+    ).distinct().localCheckpoint()
+    e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        row = (
+            df.select(
+                F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                # modulo keeps the ANSI-mode sum far from int64 overflow
+                F.coalesce(
+                    F.sum(F.xxhash64("a", "b") % F.lit(1_000_000_007)), F.lit(0)
+                ).alias("s"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), int(row["s"])
+
+    prev = _sig(e)
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint()
+        e = _small_star(e).localCheckpoint()
+        cur = _sig(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # After convergence every edge points child → root (star forest).
+    labels = e.select(
+        F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("component")
+    ).groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
+def cluster_pages(
+    scored_pairs: DataFrame,
+    threshold: float,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score: str = "score",
+) -> DataFrame:
+    """Threshold scored pairs into edges and resolve clusters.
+
+    Reference analog: per-mention argmax over candidate scores
+    (``/root/reference/src/inference.py:26``) followed by the collective
+    consistency pass; here: edge filter + transitive closure.
+    """
+    edges = scored_pairs.where(F.col(score) >= threshold).select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    return connected_components(edges)

@@ -1,0 +1,140 @@
+"""Pairwise feature computation + scoring inside blocks.
+
+Mirrors the reference's 13-feature candidate scorer feature-for-feature
+where a web-page pair has an analog (feature list:
+``/root/reference/src/ltr_bow.py:19-31``, assembly:
+``src/simple_dataset.py:149-220``), plus the Jaro-Winkler measure the
+target pipeline adds (BASELINE.json north_star).
+
+Everything except the two string-similarity UDFs is JVM-side Catalyst
+expressions (map algebra for TF-IDF, array algebra for Jaccard), so the
+scoring stage stays inside whole-stage codegen; the UDFs are Arrow-batched
+pandas UDFs (never per-row Python — BASELINE.json input_hint).
+
+Scorer: fixed-weight linear model (reference:
+``src/fixed_weights_model.py:4-10``) — a pure column expression. The
+interface leaves room for a broadcast learned model inside a pandas UDF
+(reference swaps MLP/XGBoost/fixed behind one interface,
+``src/eval_ltr_bow_model.py:29-45``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_linking_spark.functions.similarity import (
+    jaro_winkler,
+    lev_ratio_cost2,
+    tfidf_cosine_maps,
+    tfidf_norm_map,
+)
+from entity_linking_spark.functions.text import words
+from entity_linking_spark.operators.pairs import attach_pair_payload
+
+# v1 fixed weights (reference precedent: hand-set weights over the two
+# strongest features, src/eval_ltr_bow_model.py:30-35 / fixed_weights_model)
+DEFAULT_WEIGHTS: dict[str, float] = {
+    "tfidf_cos": 0.45,
+    "jaccard": 0.25,
+    "str_sim": 0.20,
+    "jw_sim": 0.10,
+}
+
+
+def doc_payload(
+    pages: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-document scoring payload: tokens, token count, TF-IDF map.
+
+    IDF is computed from the corpus itself (``log(N/df)``, reference builds
+    it in preprocessing and loads JSON — ``src/simple_dataset.py:62-63``,
+    ``src/create_compats.py:101-108``); here it's a groupBy + broadcast-join
+    back onto the exploded tokens.
+    """
+    toks = pages.select(
+        F.col(id_col).alias("id"), words(F.col(text_col)).alias("tokens")
+    )
+    n_docs = toks.count()
+    tf = (
+        toks.select("id", F.explode("tokens").alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("id").alias("df"))
+        .select("token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    )
+    tfidf = (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("token"), (F.col("tf") * F.col("idf")).alias("w"))
+                )
+            ).alias("tfidf")
+        )
+    )
+    return toks.join(tfidf, "id", "left").select(
+        "id",
+        "tokens",
+        F.size("tokens").alias("token_cnt"),
+        F.coalesce(
+            "tfidf", F.create_map().cast("map<string,double>")
+        ).alias("tfidf"),
+    )
+
+
+def pair_features(
+    pairs: DataFrame,
+    payload: DataFrame,
+    head_tokens: int = 8,
+) -> DataFrame:
+    """Attach per-pair feature columns.
+
+    Features (names keep the reference's vocabulary, ltr_bow.py:19-31):
+      tfidf_cos        — TF-IDF cosine of the two docs  (ref: mention_tfidf)
+      cand_token_cnt / mention_token_cnt — token counts of each side
+      jaccard          — distinct-token Jaccard
+      str_sim          — Levenshtein cost-2 ratio of the head tokens
+                          (ref: Levenshtein.ratio, simple_dataset.py:180)
+      jw_sim           — Jaro-Winkler of the head tokens (north_star add)
+      tfidf_norm_a/b   — TF-IDF L2 norms (ref: candidate_tfidf_norm)
+    """
+    p = attach_pair_payload(pairs, payload, "id", ["tokens", "token_cnt", "tfidf"])
+    head_a = F.concat_ws(" ", F.slice("tokens_a", 1, head_tokens))
+    head_b = F.concat_ws(" ", F.slice("tokens_b", 1, head_tokens))
+    inter = F.size(F.array_intersect(F.array_distinct("tokens_a"), F.array_distinct("tokens_b")))
+    uni = F.size(F.array_union("tokens_a", "tokens_b"))
+    return (
+        p.withColumn("tfidf_cos", tfidf_cosine_maps(F.col("tfidf_a"), F.col("tfidf_b")))
+        .withColumn("jaccard", F.when(uni == 0, 0.0).otherwise(inter / uni))
+        .withColumn("str_sim", lev_ratio_cost2(head_a, head_b))
+        .withColumn("jw_sim", jaro_winkler(head_a, head_b))
+        .withColumn("tfidf_norm_a", tfidf_norm_map(F.col("tfidf_a")))
+        .withColumn("tfidf_norm_b", tfidf_norm_map(F.col("tfidf_b")))
+        .withColumnRenamed("token_cnt_a", "cand_token_cnt")
+        .withColumnRenamed("token_cnt_b", "mention_token_cnt")
+        .drop("tokens_a", "tokens_b", "tfidf_a", "tfidf_b")
+    )
+
+
+def linear_score(weights: dict[str, float] | None = None) -> Column:
+    """Fixed-weight linear scorer column (ref fixed_weights_model.py:4-10)."""
+    w = weights or DEFAULT_WEIGHTS
+    expr = F.lit(0.0)
+    for name, weight in w.items():
+        expr = expr + F.lit(float(weight)) * F.col(name)
+    return expr
+
+
+def score_pairs(
+    pairs: DataFrame,
+    payload: DataFrame,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    return pair_features(pairs, payload).withColumn(
+        "score", linear_score(weights)
+    )

@@ -1,0 +1,81 @@
+"""Connected-components correctness vs a driver-side union-find oracle.
+
+Mirrors the reference's hand-computed-golden test style
+(``/root/reference/test/max_product_test.py``) plus randomized graphs for
+the scale paths (chain = transitivity, star = skew, random = convergence)
+per FIXTURES.md §7.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from entity_linking_spark.operators.cluster import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # path-compress fully to the min representative
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    exp = _union_find(None, edges)
+    # union-find roots are the min of each component because union() always
+    # parents the larger root — still normalize via a second pass
+    comp_min = {}
+    for node, root in exp.items():
+        comp_min.setdefault(root, node)
+        comp_min[root] = min(comp_min[root], node)
+    exp_norm = {node: comp_min[root] for node, root in exp.items()}
+    assert got == exp_norm
+
+
+def test_chain(spark):
+    _check(spark, [(i, i + 1) for i in range(20)])
+
+
+def test_two_components_and_star(spark):
+    edges = [(0, i) for i in range(1, 30)]  # star hub 0
+    edges += [(100, 101), (101, 102), (103, 102)]
+    _check(spark, edges)
+
+
+def test_self_loops_and_dups(spark):
+    _check(spark, [(1, 1), (1, 2), (2, 1), (2, 3), (5, 5)])
+
+
+def test_random_graph(spark):
+    rng = random.Random(42)
+    nodes = list(range(300))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_singleton_nodes_kept(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = connected_components(df)
+    assert out.count() == 2
