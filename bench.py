@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship linkage pipeline is timed end-to-end (pages/sec is derivable:
+docs / pipeline seconds); registry queries are forced with .count() so
+results never funnel through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def pipeline_query(spark, sf_dir: str):
+    """Flagship: full linkage pipeline over documents-as-pages."""
+    from entity_linking_spark.operators.blocking import (
+        block_keys,
+        cap_block_size,
+        salt_mega_blocks,
+    )
+    from entity_linking_spark.operators.cluster import cluster_pages
+    from entity_linking_spark.operators.pairs import candidate_pairs
+    from entity_linking_spark.operators.scoring import doc_payload, score_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.col("doc_id").alias("id"),
+        "text",
+    )
+    blocks = cap_block_size(salt_mega_blocks(block_keys(
+        pages, id_col="id", text_col="text", url_col="url")))
+    pairs = candidate_pairs(blocks)
+    scored = score_pairs(pairs, doc_payload(pages, id_col="id", text_col="text"))
+    return cluster_pages(scored, threshold=0.8)
+
+
+BENCH_REGISTRY_QUERIES = [
+    "minhash_signature",
+    "candidate_pairs_pfx",
+    "pair_scores_jw",
+    "pricing_summary",
+    "join_agg_revenue",
+    "topk_per_group",
+    "window_lognorm",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entity_linking_spark.queries import queries as registry
+    from entity_linking_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    # warm the JVM/Arrow paths so per-query times measure the plan, not init
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    t0 = time.time()
+    pipeline_query(spark, sf_dir).count()
+    timings["linkage_pipeline"] = round(time.time() - t0, 3)
+
+    qs = registry()
+    for name in BENCH_REGISTRY_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "docs": n_docs,
+        "pipeline_docs_per_sec": round(n_docs / timings["linkage_pipeline"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

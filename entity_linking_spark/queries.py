@@ -529,3 +529,738 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
     )
+
+
+# ===========================================================================
+# Dedup suite (training-data pipeline ops; SURVEY §2 extension per brief)
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS dup_key, min(doc_id) AS keeper, count(*) AS n_dups
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: keep min id per identical text.
+
+    Reference analog: set()-dedup of candidate ids/pages
+    (/root/reference/src/create_compats.py:147,166-171); at corpus scale
+    this is the md5-key groupBy — one shuffle, map-side partial agg.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("dup_key"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+@register(
+    "fingerprint_docs",
+    f"""
+    SELECT doc_id, {X.sql_fingerprint(_SQL_TOKENS)} AS fp FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (dedup key that,
+    unlike md5(text), survives whitespace/case noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(X.words(F.col("text"))).alias("fp")
+    )
+
+
+def _sql_minhash_cte(num_hashes: int) -> str:
+    mins = ",\n           ".join(
+        f"min({sql_seeded_hash64('shingle', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    return f"""
+    sh AS (
+      SELECT doc_id, unnest({X.sql_word_shingles(_SQL_TOKENS, 3)}) AS shingle
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+def _sql_band_keys(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"h{b * rows + i}::varchar" for i in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, 'b{b}:' || {sql_md5hash64(cols)}::varchar AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "neardup_minhash",
+    f"""
+    WITH {_sql_minhash_cte(16)},
+    bands AS ({_sql_band_keys(16, 4)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs (16 hashes, 4 bands × 4
+    rows → catches Jaccard ≳ 0.7 pairs w.h.p. — MMDS ch.3 banding)."""
+    from entity_linking_spark.operators.blocking import (
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_k=3)
+    bands = sigs.where(F.col("minhash_sig")[0].isNotNull()).select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("minhash_sig"), 16, 4)).alias("band_key"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@register(
+    "neardup_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS tokens FROM documents
+      WHERE len({_SQL_TOKENS}) >= 4
+    ), b AS (
+      SELECT id, array_to_string(list_slice(tokens, 1, 4), ' ') AS block_key,
+             list_distinct({X.sql_word_shingles('tokens', 3)}) AS sh
+      FROM t
+    )
+    SELECT a.id AS id_a, c.id AS id_b,
+           round(len(list_intersect(a.sh, c.sh))::double
+                 / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))), 6)
+             AS jaccard_sim
+    FROM b a JOIN b c ON a.block_key = c.block_key AND a.id < c.id
+    WHERE len(a.sh) > 0 AND len(c.sh) > 0
+    """,
+)
+def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-token shingle) Jaccard similarity on blocked pairs —
+    the verify stage after LSH candidate generation."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("id"), X.words(F.col("text")).alias("tokens")
+    ).where(F.size("tokens") >= 4)
+    b = t.select(
+        "id",
+        F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("block_key"),
+        F.array_distinct(X.word_shingles(F.col("tokens"), 3)).alias("sh"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("c.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("c.sh")) - inter
+    return (
+        a.join(c, "block_key")
+        .where(
+            (F.col("a.id") < F.col("c.id"))
+            & (F.size(F.col("a.sh")) > 0)
+            & (F.size(F.col("c.sh")) > 0)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard_sim"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _sql_simhash() -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), h AS (
+      SELECT doc_id, {sql_md5hash64('token')} AS h FROM tok
+    ), bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, {val} AS simhash FROM bits
+    """
+
+
+@register("simhash_docs", _sql_simhash())
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, Charikar 2002) per document: sign-sum of per-token
+    hash bits — near-dup docs land within small Hamming distance."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("token"))
+    h = tok.select("doc_id", md5hash64(F.col("token")).alias("h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*sums)
+    val = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        val = term if val is None else val + term
+    return bits.select("doc_id", val.alias("simhash"))
+
+
+# ===========================================================================
+# Similarity search over embeddings (ANN baseline + blocked variant)
+# ===========================================================================
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0::double, "
+    "list_transform(list_zip({a}, {b}), z -> z[1] * z[2])), "
+    "(acc, v) -> acc + v)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::double, "
+    "list_transform({a}, v -> v * v)), (acc, v) -> acc + v))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return f"({dot} / ({na} * {nb}))"
+
+
+@register(
+    "ann_topk_cosine",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+    ), s AS (
+      SELECT qid, cid, round({_sql_cosine('qv', 'cv')}, 6) AS cos_sim
+      FROM q, c WHERE qid <> cid
+    ), r AS (
+      SELECT qid, cid, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, cid) AS rnk
+      FROM s
+    )
+    SELECT qid, cid, cos_sim, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the ANN correctness baseline. JVM-side
+    zip_with/aggregate arithmetic (no Python); at 10^9-vector scale the
+    same plan runs per-IVF-cell after `ann_bucketed` partitions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    s = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_arrays(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("qid", "cid", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "ann_bucketed_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+           round({_sql_cosine('a.v', 'c.v')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_sql_cosine('a.v', 'c.v')}, 6) >= 0.2
+    """,
+)
+def ann_bucketed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity pairs: sign-bits of the first 4 dimensions
+    as the hyperplane hash (16 buckets) — candidate pairs only form inside
+    a bucket, the scale path replacing the brute-force cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    bucket = (
+        F.when(e[0] > 0, 8).otherwise(0)
+        + F.when(e[1] > 0, 4).otherwise(0)
+        + F.when(e[2] > 0, 2).otherwise(0)
+        + F.when(e[3] > 0, 1).otherwise(0)
+    )
+    b = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        bucket.alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = F.round(cosine_arrays(F.col("a.v"), F.col("c.v")), 6)
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            "bucket",
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.label,
+           round({_sql_cosine('a.v', 'c.v')}, 6) AS cos_sim
+    FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+    WHERE round({_sql_cosine('a.v', 'c.v')}, 6) >= 0.5
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label — the
+    embedding-space analog of blocked pair scoring."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = F.round(cosine_arrays(F.col("a.v"), F.col("c.v")), 6)
+    return (
+        a.join(c, "label")
+        .where(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("c.vec_id").alias("id_b"),
+            "label",
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.5)
+    )
+
+
+# ===========================================================================
+# Text-analysis suite (language-ID, quality, token stats — SURVEY §2.8)
+# ===========================================================================
+
+_LANG_WORDLISTS = {
+    "en": ["the", "and", "of", "a", "to", "fast", "key"],
+    "de": ["der", "die", "und", "das", "ein", "mit", "row"],
+    "fr": ["le", "la", "et", "les", "des", "un", "stream"],
+    "es": ["el", "la", "de", "los", "y", "un", "batch"],
+}
+
+
+def _sql_lang_id() -> str:
+    toks = f"list_distinct({_SQL_TOKENS})"
+    hits = {
+        lang: f"len(list_intersect({toks}, {words!r}))".replace("'", "'")
+        for lang, words in _LANG_WORDLISTS.items()
+    }
+    hit_cols = ", ".join(
+        f"len(list_intersect({toks}, "
+        f"[{', '.join(repr(w) for w in ws)}])) AS hits_{lang}"
+        for lang, ws in _LANG_WORDLISTS.items()
+    )
+    order = list(_LANG_WORDLISTS)
+    cases = []
+    for i, lang in enumerate(order):
+        others = [f"hits_{o}" for o in order[i + 1:]]
+        cond = " AND ".join(f"hits_{lang} >= {o}" for o in others) or "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_expr = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+    WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+    SELECT doc_id, {case_expr} AS pred_lang,
+           greatest(hits_en, hits_de, hits_fr, hits_es) AS best_hits
+    FROM h
+    """
+
+
+@register("lang_id_heuristic", _sql_lang_id())
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-hit language ID (n-gram heuristic family) — deterministic
+    argmax with fixed tie-break order, all JVM-side array algebra."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(X.words(F.col("text")))
+    h = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+            ).alias(f"hits_{lang}")
+            for lang, ws in _LANG_WORDLISTS.items()
+        ],
+    )
+    order = list(_LANG_WORDLISTS)
+    pred = None
+    for i, lang in enumerate(order):
+        cond = None
+        for o in order[i + 1:]:
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{o}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lang)
+        if pred is None:
+            pred = F.when(cond if cond is not None else F.lit(True), branch)
+        else:
+            pred = pred.when(cond if cond is not None else F.lit(True), branch)
+    pred = pred.otherwise(F.lit("und"))
+    return h.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.greatest(
+            *[F.col(f"hits_{lang}") for lang in order]
+        ).alias("best_hits"),
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS}) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tok, n_chars,
+           round(n_digit::double / greatest(n_chars, 1), 6) AS digit_ratio,
+           round(n_punct::double / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(least(n_tok::double / 20.0, 1.0)
+                 * (1.0 - n_digit::double / greatest(n_chars, 1))
+                 * (1.0 - n_punct::double / greatest(n_chars, 1)), 6)
+             AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length / digit / punctuation ratios —
+    the web-text quality-filter operator (all codegen'd expressions)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(X.words(F.col("text"))).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", "")
+        ).alias("n_punct"),
+    )
+    nc = F.greatest(F.col("n_chars"), F.lit(1))
+    dr = F.col("n_digit").cast("double") / nc
+    pr = F.col("n_punct").cast("double") / nc
+    return m.select(
+        "doc_id",
+        "n_tok",
+        "n_chars",
+        F.round(dr, 6).alias("digit_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        F.round(
+            F.least(F.col("n_tok").cast("double") / 20.0, F.lit(1.0))
+            * (1.0 - dr)
+            * (1.0 - pr),
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+             AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS bpe_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letters / digit runs / single punctuation) — the token-budget
+    estimator for training-data pipelines."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != F.lit("")
+        )
+    )
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    )
+    return docs.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"), "n_chars"
+    )
+
+
+# ===========================================================================
+# Event-stream batch analytics (events table)
+# ===========================================================================
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (30 min) — the batch analog
+    of session_window; one window + one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_sess").alias("n_sessions")
+    )
+
+
+@register(
+    "tumbling_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg; same groupBy plan Structured Streaming would produce)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+# ===========================================================================
+# Grouping sets / set ops / projection-filter families (SURVEY §2.2, §2.7)
+# ===========================================================================
+
+@register(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (SURVEY A11 — absent in the reference, free in
+    Spark/Catalyst)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "set_ops_candidates",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_nationkey = 3
+    """,
+)
+def set_ops_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/except candidate-set algebra (reference SO1/SO2/SO4,
+    /root/reference/src/data_fetchers.py:96-97,
+    src/mention_context_batch_sampler.py:53-77)."""
+    c = _t(spark, sf_dir, "customer")
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    nat3 = c.where(F.col("c_nationkey") == 3).select("c_custkey")
+    return auto.union(rich).distinct().exceptAll(nat3.distinct())
+
+
+@register(
+    "clean_entity_text",
+    r"""
+    SELECT p_partkey,
+           regexp_replace(p_name || ' (' || p_brand || ')', '\s*\(.*\)$', '')
+             AS clean_name
+    FROM part
+    """,
+)
+def clean_entity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip trailing parenthetical — the reference's entity-text cleanup
+    (/root/reference/src/simple_dataset.py:27-28) as regexp_replace."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(
+            F.concat(F.col("p_name"), F.lit(" ("), F.col("p_brand"), F.lit(")")),
+            r"\s*\(.*\)$",
+            "",
+        ).alias("clean_name"),
+    )
+
+
+@register(
+    "filter_truncate",
+    """
+    SELECT doc_id, substr(text, 1, 50) AS head, lang
+    FROM documents
+    WHERE length(trim(text)) > 5 AND lang IN ('en', 'de')
+    """,
+)
+def filter_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-empty-content predicate + truncation projection (reference
+    P3/P4, /root/reference/src/mention_context_dataset.py:266-282)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(
+            (F.length(F.trim(F.col("text"))) > 5) & F.col("lang").isin("en", "de")
+        )
+        .select("doc_id", F.substring("text", 1, 50).alias("head"), "lang")
+    )
+
+
+# ===========================================================================
+# Connected components with a recursive-CTE oracle (SURVEY §3.3)
+# ===========================================================================
+
+@register(
+    "cc_components",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id AS id, {_SQL_TOKENS} AS tokens, md5(text) AS tkey
+      FROM documents
+    ), b AS (
+      SELECT id, array_to_string(list_slice(tokens, 1, 4), ' ') AS bkey
+      FROM t WHERE len(tokens) >= 4
+    ), e1 AS (
+      SELECT a.id AS src, c.id AS dst FROM b a
+      JOIN b c ON a.bkey = c.bkey AND a.id < c.id
+    ), e2 AS (
+      SELECT a.id AS src, c.id AS dst FROM t a
+      JOIN t c ON a.tkey = c.tkey AND a.id < c.id
+    ), edges AS (
+      SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2
+      UNION SELECT dst, src FROM e1 UNION SELECT dst, src FROM e2
+    ),
+    walk(node, lab) AS (
+      SELECT id, id FROM t
+      UNION
+      SELECT e.dst, w.lab FROM walk w JOIN edges e ON w.node = e.src
+    )
+    SELECT node AS doc_id, min(lab) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure over blocking-derived edges, resolved with the
+    large-star/small-star loop; oracle = DuckDB recursive CTE label
+    propagation. Edges: shared 4-token prefix key ∪ identical text."""
+    from entity_linking_spark.operators.cluster import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("id"),
+        X.words(F.col("text")).alias("tokens"),
+        F.md5(F.col("text").cast("binary")).alias("tkey"),
+    )
+    b = t.where(F.size("tokens") >= 4).select(
+        "id", F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("bkey")
+    )
+    e1 = (
+        b.alias("a")
+        .join(b.alias("c"), "bkey")
+        .where(F.col("a.id") < F.col("c.id"))
+        .select(F.col("a.id").alias("src"), F.col("c.id").alias("dst"))
+    )
+    e2 = (
+        t.alias("a")
+        .join(t.alias("c"), "tkey")
+        .where(F.col("a.id") < F.col("c.id"))
+        .select(F.col("a.id").alias("src"), F.col("c.id").alias("dst"))
+    )
+    comp = connected_components(e1.union(e2))
+    all_ids = t.select(F.col("id").alias("doc_id"))
+    return (
+        all_ids.join(comp, all_ids.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
