@@ -105,7 +105,7 @@ def block_keys(
     url_col: str | None = "url",
     use_minhash: bool = True,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     shingle_k: int = 3,
     prefix_tokens: int = 4,
 ) -> DataFrame:

@@ -1,0 +1,153 @@
+"""The flagship linkage pipeline: pages → clusters (+ pairwise evaluation).
+
+Stage graph (SURVEY.md §7.1, each stage checkpointable via
+``entity_linking_spark.checkpoint``):
+
+    pages(url, warc_ts, html, text, lang)
+      extract  → text (byte-identical contract, extract.py)
+      block    → (id, block_key): host ∪ norm-prefix ∪ MinHash-LSH bands
+      salt/cap → mega-block salting + deterministic size caps
+      pairs    → block self-join, id_a < id_b, dedup
+      score    → JVM+Arrow pair features ▷ fixed-weight linear score
+      edges    → score ≥ τ
+      cluster  → large-star/small-star connected components
+      metrics  → pairwise P/R/F1 vs labeled_pairs
+
+Reference lineage: the stages mirror the reference's candidate-generation →
+feature-scoring → argmax/collective-consistency flow
+(/root/reference/src/data_fetchers.py:91-149, src/simple_dataset.py:149-220,
+src/max_product.py:60-82) re-expressed as DataFrame transformations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_linking_spark.operators.blocking import (
+    block_keys,
+    cap_block_size,
+    salt_mega_blocks,
+)
+from entity_linking_spark.operators.cluster import connected_components
+from entity_linking_spark.operators.pairs import candidate_pairs
+from entity_linking_spark.operators.scoring import (
+    DEFAULT_WEIGHTS,
+    doc_payload,
+    score_pairs,
+)
+
+
+@dataclass
+class LinkageConfig:
+    threshold: float = 0.62
+    max_block: int = 64
+    n_salts: int = 16
+    num_hashes: int = 16
+    bands: int = 8
+    shingle_k: int = 3
+    prefix_tokens: int = 4
+    weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+
+
+def link_pages(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    url_col: str | None = "url",
+    config: LinkageConfig | None = None,
+) -> DataFrame:
+    """→ (id, cluster_id): cluster_id = min member id in the component.
+
+    All eval-path stages are deterministic (no rand(); caps use stable
+    hash order — reference shuffles candidates only for training,
+    /root/reference/src/data_fetchers.py:147-149).
+    """
+    cfg = config or LinkageConfig()
+    blocks = block_keys(
+        pages,
+        id_col=id_col,
+        text_col=text_col,
+        url_col=url_col,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        shingle_k=cfg.shingle_k,
+        prefix_tokens=cfg.prefix_tokens,
+    )
+    blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
+    blocks = cap_block_size(blocks, max_block=cfg.max_block)
+    pairs = candidate_pairs(blocks)
+    payload = doc_payload(pages, id_col=id_col, text_col=text_col)
+    scored = score_pairs(pairs, payload, weights=cfg.weights)
+    edges = scored.where(F.col("score") >= cfg.threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    ids = pages.select(F.col(id_col).alias("id"))
+    return ids.join(comp, ids.id == comp.node, "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+    )
+
+
+def score_candidate_pairs(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    url_col: str | None = "url",
+    config: LinkageConfig | None = None,
+) -> DataFrame:
+    """Intermediate product: scored candidate pairs (id_a, id_b, features, score)."""
+    cfg = config or LinkageConfig()
+    blocks = block_keys(
+        pages,
+        id_col=id_col,
+        text_col=text_col,
+        url_col=url_col,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        shingle_k=cfg.shingle_k,
+        prefix_tokens=cfg.prefix_tokens,
+    )
+    blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
+    blocks = cap_block_size(blocks, max_block=cfg.max_block)
+    pairs = candidate_pairs(blocks)
+    payload = doc_payload(pages, id_col=id_col, text_col=text_col)
+    return score_pairs(pairs, payload, weights=cfg.weights)
+
+
+def pairwise_metrics(
+    clusters: DataFrame,
+    labeled_pairs: DataFrame,
+) -> dict[str, float]:
+    """Pairwise precision / recall / F1 of cluster assignments against
+    labeled pairs (reference eval: streamed accuracy,
+    /root/reference/src/tester.py:113-118; pairwise form per BASELINE)."""
+    ca = clusters.select(
+        F.col("id").alias("url_a"), F.col("cluster_id").alias("c_a")
+    )
+    cb = clusters.select(
+        F.col("id").alias("url_b"), F.col("cluster_id").alias("c_b")
+    )
+    j = (
+        labeled_pairs.join(ca, "url_a")
+        .join(cb, "url_b")
+        .select(
+            "label", (F.col("c_a") == F.col("c_b")).cast("int").alias("pred")
+        )
+    )
+    row = j.agg(
+        F.sum((F.col("label") * F.col("pred"))).alias("tp"),
+        F.sum(((1 - F.col("label")) * F.col("pred"))).alias("fp"),
+        F.sum((F.col("label") * (1 - F.col("pred")))).alias("fn"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "n": int(row["n"]),
+        "precision": prec, "recall": rec, "f1": f1,
+    }
