@@ -28,14 +28,7 @@ def _sf_from_dir(d: str) -> float:
 
 def pipeline_query(spark, sf_dir: str):
     """Flagship: full linkage pipeline over documents-as-pages."""
-    from entity_linking_spark.operators.blocking import (
-        block_keys,
-        cap_block_size,
-        salt_mega_blocks,
-    )
-    from entity_linking_spark.operators.cluster import cluster_pages
-    from entity_linking_spark.operators.pairs import candidate_pairs
-    from entity_linking_spark.operators.scoring import doc_payload, score_pairs
+    from entity_linking_spark.plans.pipeline import LinkageConfig, link_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pages = docs.select(
@@ -46,11 +39,10 @@ def pipeline_query(spark, sf_dir: str):
         F.col("doc_id").alias("id"),
         "text",
     )
-    blocks = cap_block_size(salt_mega_blocks(block_keys(
-        pages, id_col="id", text_col="text", url_col="url")))
-    pairs = candidate_pairs(blocks)
-    scored = score_pairs(pairs, doc_payload(pages, id_col="id", text_col="text"))
-    return cluster_pages(scored, threshold=0.8)
+    return link_pages(
+        pages, id_col="id", text_col="text", url_col="url",
+        config=LinkageConfig(threshold=0.8),
+    )
 
 
 BENCH_REGISTRY_QUERIES = [

@@ -1,0 +1,187 @@
+"""Per-stage checkpointing with lineage + per-partition counters (north_rule:
+"every stage checkpoints ... with per-partition lineage and counters so the
+job resumes mid-pipeline").
+
+Production target is Iceberg tables (atomic snapshot commits); this module
+implements the same contract on plain parquet + a JSON manifest because the
+sandbox image carries no Iceberg jars. The interface is format-agnostic:
+swap ``_write``/``_read`` for ``df.writeTo(table).createOrReplace()`` and
+the resume logic is unchanged.
+
+Reference analog: the reference resumes via epoch checkpoints +
+``start_from_page_num`` (/root/reference/src/trainer.py:169,
+src/runner.py:22) and memoizes stage products in pickle caches
+(src/cache.py:20-27); here each stage is a columnar table plus a manifest
+entry, and counters live in a ``_metrics`` table
+(analog of src/experiment.py:67-98 results files).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageCheckpointer:
+    """Materialize named pipeline stages; completed stages are not recomputed.
+
+    Usage::
+
+        ckpt = StageCheckpointer(spark, "/data/run1")
+        blocks = ckpt.stage("blocks", lambda: block_keys(pages))
+        pairs  = ckpt.stage("pairs",  lambda: candidate_pairs(blocks))
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self._manifest_path = os.path.join(base_dir, "manifest.json")
+        self.manifest: dict[str, dict] = {}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as fh:
+                self.manifest = json.load(fh)
+
+    # -- manifest ----------------------------------------------------------
+    def _save_manifest(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.manifest, fh, indent=2, sort_keys=True)
+        os.replace(tmp, self._manifest_path)  # atomic completion marker
+
+    def _stage_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"stage_{name}")
+
+    def is_complete(self, name: str) -> bool:
+        return (
+            self.manifest.get(name, {}).get("complete", False)
+            and os.path.exists(self._stage_path(name))
+        )
+
+    # -- stages ------------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        repartition_by: str | None = None,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
+        """Return the stage DataFrame, computing + persisting only if needed.
+
+        ``repartition_by`` lets callers key the written layout on the
+        blocking key (north_rule: shuffle partitioning keyed on blocking
+        keys) so the downstream self-join reads co-partitioned data.
+        """
+        path = self._stage_path(name)
+        if self.is_complete(name):
+            return self.spark.read.parquet(path)
+        df = build()
+        if repartition_by is not None:
+            n = num_partitions or self.spark.sparkContext.defaultParallelism
+            df = df.repartition(n, repartition_by)
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        self._record_metrics(name, out, time.time() - t0)
+        return out
+
+    # -- lineage + counters -----------------------------------------------
+    def _record_metrics(self, name: str, df: DataFrame, secs: float) -> None:
+        """Per-partition row counters → ``_metrics`` parquet + manifest."""
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("ts", F.current_timestamp())
+        )
+        per_part.write.mode("append").parquet(
+            os.path.join(self.base_dir, "_metrics")
+        )
+        rows = df.count()
+        self.manifest[name] = {
+            "complete": True,
+            "rows": rows,
+            "seconds": round(secs, 3),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "schema": df.schema.simpleString(),
+        }
+        self._save_manifest()
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base_dir, "_metrics"))
+
+
+def run_linkage_checkpointed(
+    spark: SparkSession,
+    pages: DataFrame,
+    run_dir: str,
+    config=None,
+    id_col: str = "url",
+    text_col: str = "text",
+    url_col: str | None = "url",
+) -> DataFrame:
+    """The flagship pipeline with every stage checkpointed + resumable.
+
+    Killing the job after any stage and re-running reuses all completed
+    stages (tests/test_resume.py proves byte-identical output either way).
+    """
+    from entity_linking_spark.operators.blocking import (
+        block_keys,
+        cap_block_size,
+        salt_mega_blocks,
+    )
+    from entity_linking_spark.operators.cluster import connected_components
+    from entity_linking_spark.operators.pairs import candidate_pairs
+    from entity_linking_spark.operators.scoring import doc_payload, score_pairs
+    from entity_linking_spark.plans.pipeline import LinkageConfig
+
+    cfg = config or LinkageConfig()
+    ckpt = StageCheckpointer(spark, run_dir)
+
+    blocks = ckpt.stage(
+        "blocks",
+        lambda: cap_block_size(
+            salt_mega_blocks(
+                block_keys(
+                    pages,
+                    id_col=id_col,
+                    text_col=text_col,
+                    url_col=url_col,
+                    num_hashes=cfg.num_hashes,
+                    bands=cfg.bands,
+                    shingle_k=cfg.shingle_k,
+                    prefix_tokens=cfg.prefix_tokens,
+                ),
+                max_block=cfg.max_block,
+                n_salts=cfg.n_salts,
+            ),
+            max_block=cfg.max_block,
+        ),
+        repartition_by="block_key",
+    )
+    pairs = ckpt.stage("pairs", lambda: candidate_pairs(blocks))
+    payload = ckpt.stage(
+        "payload", lambda: doc_payload(pages, id_col=id_col, text_col=text_col)
+    )
+    scored = ckpt.stage(
+        "scored", lambda: score_pairs(pairs, payload, weights=cfg.weights)
+    )
+    edges = scored.where(F.col("score") >= cfg.threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    clusters = ckpt.stage(
+        "clusters",
+        lambda: pages.select(F.col(id_col).alias("id"))
+        .join(
+            connected_components(edges),
+            F.col("id") == F.col("node"),
+            "left",
+        )
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id")),
+    )
+    return clusters

@@ -94,8 +94,10 @@ def connected_components(
 
     prev = _sig(e)
     for _ in range(max_iter):
-        e = _large_star(e).localCheckpoint()
-        e = _small_star(e).localCheckpoint()
+        # one materialization per round: the combined large∘small round is
+        # checkpointed once (truncates lineage), then a single aggregate
+        # both drives the plan and checks the fixpoint
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _sig(e)
         if cur == prev:
             break

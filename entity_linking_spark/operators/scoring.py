@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from entity_linking_spark.functions.similarity import (
     jaro_winkler,
     lev_ratio_cost2,
+    lev_ratio_unit,
     tfidf_cosine_maps,
     tfidf_norm_map,
 )
@@ -91,6 +92,7 @@ def pair_features(
     pairs: DataFrame,
     payload: DataFrame,
     head_tokens: int = 8,
+    use_cost2_lev: bool = False,
 ) -> DataFrame:
     """Attach per-pair feature columns.
 
@@ -98,8 +100,13 @@ def pair_features(
       tfidf_cos        — TF-IDF cosine of the two docs  (ref: mention_tfidf)
       cand_token_cnt / mention_token_cnt — token counts of each side
       jaccard          — distinct-token Jaccard
-      str_sim          — Levenshtein cost-2 ratio of the head tokens
-                          (ref: Levenshtein.ratio, simple_dataset.py:180)
+      str_sim          — Levenshtein ratio of the head tokens
+                          (ref: Levenshtein.ratio, simple_dataset.py:180).
+                          Default: unit-cost ratio via the JVM builtin
+                          (codegen'd, zero Python). ``use_cost2_lev=True``
+                          switches to the reference's exact cost-2
+                          semantics in an Arrow UDF — fidelity mode,
+                          ~240µs/pair vs ~ns.
       jw_sim           — Jaro-Winkler of the head tokens (north_star add)
       tfidf_norm_a/b   — TF-IDF L2 norms (ref: candidate_tfidf_norm)
     """
@@ -108,10 +115,15 @@ def pair_features(
     head_b = F.concat_ws(" ", F.slice("tokens_b", 1, head_tokens))
     inter = F.size(F.array_intersect(F.array_distinct("tokens_a"), F.array_distinct("tokens_b")))
     uni = F.size(F.array_union("tokens_a", "tokens_b"))
+    str_sim = (
+        lev_ratio_cost2(head_a, head_b)
+        if use_cost2_lev
+        else lev_ratio_unit(head_a, head_b)
+    )
     return (
         p.withColumn("tfidf_cos", tfidf_cosine_maps(F.col("tfidf_a"), F.col("tfidf_b")))
         .withColumn("jaccard", F.when(uni == 0, 0.0).otherwise(inter / uni))
-        .withColumn("str_sim", lev_ratio_cost2(head_a, head_b))
+        .withColumn("str_sim", str_sim)
         .withColumn("jw_sim", jaro_winkler(head_a, head_b))
         .withColumn("tfidf_norm_a", tfidf_norm_map(F.col("tfidf_a")))
         .withColumn("tfidf_norm_b", tfidf_norm_map(F.col("tfidf_b")))

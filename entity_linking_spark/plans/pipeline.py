@@ -77,9 +77,12 @@ def link_pages(
         prefix_tokens=cfg.prefix_tokens,
     )
     blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
-    blocks = cap_block_size(blocks, max_block=cfg.max_block)
+    # persist: the self-join and the payload join would otherwise recompute
+    # the whole blocking subtree (minhash shuffle included) on both sides —
+    # the two exchanges differ by projection so AQE cannot reuse them
+    blocks = cap_block_size(blocks, max_block=cfg.max_block).persist()
     pairs = candidate_pairs(blocks)
-    payload = doc_payload(pages, id_col=id_col, text_col=text_col)
+    payload = doc_payload(pages, id_col=id_col, text_col=text_col).persist()
     scored = score_pairs(pairs, payload, weights=cfg.weights)
     edges = scored.where(F.col("score") >= cfg.threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -1,0 +1,84 @@
+"""Mid-pipeline resume (north_rule): kill after stage k, rerun, identical
+output with completed stages reused (FIXTURES-style kill-and-rerun test)."""
+
+import json
+import os
+
+import pytest
+
+from entity_linking_spark.checkpoint import StageCheckpointer, run_linkage_checkpointed
+from entity_linking_spark.datagen import write_parquet
+from entity_linking_spark.plans.pipeline import LinkageConfig, link_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt_corpus")
+    write_parquet(str(d), n_entities=10, seed=42)
+    return spark.read.parquet(f"{d}/pages.parquet")
+
+
+def test_stage_reuse_and_metrics(spark, corpus, tmp_path):
+    run_dir = str(tmp_path / "run")
+    ckpt = StageCheckpointer(spark, run_dir)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return corpus.select("url")
+
+    a = ckpt.stage("urls", build)
+    assert calls["n"] == 1
+    # second call must read the checkpoint, not recompute
+    ckpt2 = StageCheckpointer(spark, run_dir)
+    b = ckpt2.stage("urls", build)
+    assert calls["n"] == 1
+    assert sorted(r["url"] for r in a.collect()) == sorted(
+        r["url"] for r in b.collect()
+    )
+    # per-partition lineage counters exist and sum to the row count
+    m = ckpt2.metrics().where("stage = 'urls'")
+    assert m.groupBy().sum("rows").collect()[0][0] == corpus.count()
+
+
+def test_resume_mid_pipeline_identical(spark, corpus, tmp_path):
+    run_dir = str(tmp_path / "run2")
+    cfg = LinkageConfig()
+
+    # simulate a crash: run, then delete the manifest entries AFTER 'pairs'
+    # (as if the job died before scoring) and rerun
+    full = run_linkage_checkpointed(spark, corpus, run_dir, cfg)
+    want = sorted((r["id"], r["cluster_id"]) for r in full.collect())
+
+    manifest_path = os.path.join(run_dir, "manifest.json")
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    pairs_done_at = manifest["pairs"]["completed_at"]
+    for dead in ("scored", "clusters"):
+        manifest.pop(dead)
+    with open(manifest_path, "w") as fh:
+        json.dump(manifest, fh)
+
+    resumed = run_linkage_checkpointed(spark, corpus, run_dir, cfg)
+    got = sorted((r["id"], r["cluster_id"]) for r in resumed.collect())
+    assert got == want
+    # stages before the crash point were NOT recomputed
+    with open(manifest_path) as fh:
+        manifest2 = json.load(fh)
+    assert manifest2["pairs"]["completed_at"] == pairs_done_at
+    assert manifest2["scored"]["complete"]
+
+
+def test_checkpointed_matches_direct(spark, corpus, tmp_path):
+    cfg = LinkageConfig()
+    direct = sorted(
+        (r["id"], r["cluster_id"])
+        for r in link_pages(corpus, config=cfg).collect()
+    )
+    ck = sorted(
+        (r["id"], r["cluster_id"])
+        for r in run_linkage_checkpointed(
+            spark, corpus, str(tmp_path / "run3"), cfg
+        ).collect()
+    )
+    assert direct == ck
