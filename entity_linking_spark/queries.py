@@ -1264,3 +1264,147 @@ def cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("component", F.col("doc_id")).alias("component"),
         )
     )
+
+
+# ===========================================================================
+# Candidate-prior fallback join (the reference's core blocking join J5),
+# grouping sets, pivot, as-of — batch 4
+# ===========================================================================
+
+@register(
+    "prior_fallback_lookup",
+    f"""
+    WITH m AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), keyed AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, 1, 3), ' ') AS key3,
+             toks[1] AS key1
+      FROM m WHERE len(toks) >= 3
+    ), prior AS (
+      SELECT array_to_string(list_slice(toks, 1, 3), ' ') AS key3,
+             min(toks[1]) AS key1,
+             min(doc_id) AS entity_id, count(*) AS cnt
+      FROM m WHERE len(toks) >= 3
+      GROUP BY array_to_string(list_slice(toks, 1, 3), ' ')
+    ), exact AS (
+      SELECT k.doc_id, p.entity_id, p.cnt, 'exact' AS via
+      FROM keyed k JOIN prior p ON k.key3 = p.key3
+    ), misses AS (
+      SELECT k.* FROM keyed k
+      WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.key3 = k.key3)
+    ), fallback AS (
+      SELECT k.doc_id, p.entity_id, p.cnt, 'fallback' AS via
+      FROM misses k JOIN prior p ON k.key1 = p.key1
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM fallback
+    """,
+)
+def prior_fallback_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's candidate-generation join: exact key first, then the
+    normalized fallback key ONLY for misses (anti-join branch), preserving
+    the lookup order that determines blocks
+    (/root/reference/src/data_fetchers.py:91-126 — SURVEY hard-part #3)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select("doc_id", X.words(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    keyed = m.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", 1, 3)).alias("key3"),
+        F.col("toks")[0].alias("key1"),
+    )
+    prior = (
+        m.groupBy(F.concat_ws(" ", F.slice("toks", 1, 3)).alias("key3"))
+        .agg(
+            F.min(F.col("toks")[0]).alias("key1"),
+            F.min("doc_id").alias("entity_id"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    exact = keyed.join(prior, "key3").select(
+        "doc_id", "entity_id", "cnt", F.lit("exact").alias("via")
+    )
+    misses = keyed.join(prior.select("key3"), "key3", "left_anti")
+    fallback = misses.join(
+        prior.select("key1", "entity_id", "cnt"), "key1"
+    ).select("doc_id", "entity_id", "cnt", F.lit("fallback").alias("via"))
+    return exact.unionByName(fallback)
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation (SURVEY A11 family — free in Catalyst)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "pivot_segment_nation",
+    """
+    SELECT c_nationkey,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 0), 2) AS automobile,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal END), 0), 2) AS building,
+           round(coalesce(sum(CASE WHEN c_mktsegment = 'MACHINERY'  THEN c_acctbal END), 0), 2) AS machinery
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) — segment balances per nation."""
+    c = _t(spark, sf_dir, "customer")
+    out = (
+        c.groupBy("c_nationkey")
+        .pivot("c_mktsegment", ["AUTOMOBILE", "BUILDING", "MACHINERY"])
+        .agg(F.sum("c_acctbal"))
+    )
+    return out.select(
+        "c_nationkey",
+        F.round(F.coalesce(F.col("AUTOMOBILE"), F.lit(0.0)), 2).alias("automobile"),
+        F.round(F.coalesce(F.col("BUILDING"), F.lit(0.0)), 2).alias("building"),
+        F.round(F.coalesce(F.col("MACHINERY"), F.lit(0.0)), 2).alias("machinery"),
+    )
+
+
+@register(
+    "asof_last_error",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             max(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_error_ts
+      FROM events
+    )
+    SELECT event_id, user_id, last_error_ts
+    FROM marked WHERE event_type = 'click'
+    """,
+)
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (most recent prior 'error' per user for each 'click')
+    expressed as a running-max window — the shuffle-once form of the as-of
+    pattern (SURVEY J8: Spark lacks a native as-of join; this composition
+    replaces a range join entirely)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "last_error_ts",
+        F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w),
+    )
+    return marked.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "last_error_ts"
+    )
