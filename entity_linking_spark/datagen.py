@@ -271,6 +271,9 @@ def write_parquet(
     )
     pages_path = os.path.join(out_dir, "pages.parquet")
     pairs_path = os.path.join(out_dir, "labeled_pairs.parquet")
-    pq.write_table(pages_tbl, pages_path)
-    pq.write_table(pairs_tbl, pairs_path)
+    # bounded row groups: a single-row-group file degenerates Spark's
+    # byte-range splits into ONE effective reader task (observed: 1 task
+    # doing 150s of work while 7 siblings read nothing)
+    pq.write_table(pages_tbl, pages_path, row_group_size=8192)
+    pq.write_table(pairs_tbl, pairs_path, row_group_size=65536)
     return pages_path, pairs_path

@@ -55,6 +55,7 @@ def minhash_signature(
     text_col: str,
     num_hashes: int = 16,
     shingle_k: int = 3,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """(id, sig array<long>) — MinHash signature per document.
 
@@ -62,16 +63,30 @@ def minhash_signature(
     columns, take per-id mins. Map-side combine makes the shuffle carry only
     ``num_hashes`` longs per id regardless of document length.
     Docs with < shingle_k tokens get an all-null signature filtered out.
+
+    ``hash_family``:
+      - "xxhash" (default): ``xxhash64(lit(i), shingle)`` — allocation-free
+        native hashing. md5 here cost ~1300 core-s on a 160k-page corpus
+        (16 digests × ~10M shingles, each allocating concat + hex strings)
+        and the resulting GC pressure destroyed multi-core scaling.
+      - "md5": the cross-engine family from ``hashing.seeded_hash64`` —
+        bit-reproducible in DuckDB, used by the oracle-checked registry
+        queries.
     """
     tokens = words(F.col(text_col))
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(word_shingles(tokens, shingle_k)).alias("_shingle"),
     )
-    mins = [
-        F.min(seeded_hash64(F.col("_shingle"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "xxhash":
+        hashes = [
+            F.xxhash64(F.lit(i), F.col("_shingle")) for i in range(num_hashes)
+        ]
+    else:
+        hashes = [
+            seeded_hash64(F.col("_shingle"), i) for i in range(num_hashes)
+        ]
+    mins = [F.min(h_i).alias(f"h{i}") for i, h_i in enumerate(hashes)]
     agg = sh.groupBy("_id").agg(*mins)
     return agg.select(
         F.col("_id").alias(id_col),
@@ -80,21 +95,27 @@ def minhash_signature(
 
 
 def lsh_band_keys(
-    sig: Column, num_hashes: int, bands: int
+    sig: Column, num_hashes: int, bands: int, hash_family: str = "xxhash"
 ) -> Column:
     """array<string> of LSH band keys from a signature array.
 
     Band key = 'b{band}:' + hash of the band's signature slice. Two docs
     share a band key iff their signatures agree on the whole band — the
     standard banding construction (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+    "xxhash" hashes the slice tuple natively (no string garbage); "md5" is
+    the DuckDB-reproducible family for the oracle queries.
     """
     rows = num_hashes // bands
     keys = []
     for b in range(bands):
-        part = F.concat_ws(
-            "_", *[sig[b * rows + i].cast("string") for i in range(rows)]
-        )
-        keys.append(F.concat(F.lit(f"b{b}:"), md5hash64(part).cast("string")))
+        if hash_family == "xxhash":
+            h = F.xxhash64(F.lit(b), *[sig[b * rows + i] for i in range(rows)])
+        else:
+            part = F.concat_ws(
+                "_", *[sig[b * rows + i].cast("string") for i in range(rows)]
+            )
+            h = md5hash64(part)
+        keys.append(F.concat(F.lit(f"b{b}:"), h.cast("string")))
     return F.array(*keys)
 
 
@@ -163,7 +184,9 @@ def cap_block_size(
     (``src/data_fetchers.py:127-149``) and top-5 prune
     (``src/cv_compat.py:100-112``).
     """
-    w = Window.partitionBy(key_col).orderBy(md5hash64(F.col(id_col)), F.col(id_col))
+    w = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    )
     return (
         blocks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= max_block)
@@ -186,15 +209,21 @@ def salt_mega_blocks(
     low-precision keys anyway and members keep their other keys. The pair
     count per key drops from O(B²) to O(B²/n_salts).
     """
-    sizes = blocks.groupBy(key_col).agg(F.count("*").alias("_bsize"))
-    joined = blocks.join(F.broadcast(sizes.where(F.col("_bsize") > max_block)),
-                         key_col, "left")
+    # per-key size via a window, not a broadcast-size subquery: the
+    # broadcast variant spawns a separate exchange job that re-executes the
+    # whole blocking subtree (measured 159s serialized on a 320k-page
+    # corpus); the window is one shuffle keyed on block_key — the same key
+    # the downstream cap/pair-join shuffles on anyway
+    w = Window.partitionBy(key_col)
+    sized = blocks.withColumn("_bsize", F.count("*").over(w))
     salted = F.when(
-        F.col("_bsize").isNotNull(),
+        F.col("_bsize") > max_block,
         F.concat(
             F.col(key_col),
             F.lit("#"),
-            (seeded_hash64(F.col(id_col), 7) % n_salts).cast("string"),
+            F.pmod(F.xxhash64(F.lit(7), F.col(id_col)), F.lit(n_salts)).cast(
+                "string"
+            ),
         ),
     ).otherwise(F.col(key_col))
-    return joined.select(F.col(id_col), salted.alias(key_col))
+    return sized.select(F.col(id_col), salted.alias(key_col))

@@ -68,7 +68,12 @@ def connected_components(
     is unchanged (checked via count + sum-of-hashes, one aggregate per
     round). Every round localCheckpoints to keep the plan O(1) deep.
     """
-    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the incoming edge plan ONCE — deriving nodes and the
+    # working edge set from the raw lazy plan would execute the whole
+    # upstream (blocking + scoring) twice
+    raw = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     # node set comes from the raw edges: a node appearing only in a
     # self-loop is still a (singleton) component
     nodes = raw.select(F.col("src").alias("node")).union(

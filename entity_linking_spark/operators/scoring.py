@@ -78,9 +78,15 @@ def doc_payload(
             ).alias("tfidf")
         )
     )
+    # carry only what pair scoring needs: the head string, the distinct
+    # token set and the tfidf map — NOT the full token array. The payload
+    # is joined onto both pair sides, so every column here is shuffled
+    # twice per pair; trimming it is the single biggest shuffle saving in
+    # the scoring stage.
     return toks.join(tfidf, "id", "left").select(
         "id",
-        "tokens",
+        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
+        F.array_distinct("tokens").alias("tok_set"),
         F.size("tokens").alias("token_cnt"),
         F.coalesce(
             "tfidf", F.create_map().cast("map<string,double>")
@@ -91,7 +97,6 @@ def doc_payload(
 def pair_features(
     pairs: DataFrame,
     payload: DataFrame,
-    head_tokens: int = 8,
     use_cost2_lev: bool = False,
 ) -> DataFrame:
     """Attach per-pair feature columns.
@@ -110,11 +115,12 @@ def pair_features(
       jw_sim           — Jaro-Winkler of the head tokens (north_star add)
       tfidf_norm_a/b   — TF-IDF L2 norms (ref: candidate_tfidf_norm)
     """
-    p = attach_pair_payload(pairs, payload, "id", ["tokens", "token_cnt", "tfidf"])
-    head_a = F.concat_ws(" ", F.slice("tokens_a", 1, head_tokens))
-    head_b = F.concat_ws(" ", F.slice("tokens_b", 1, head_tokens))
-    inter = F.size(F.array_intersect(F.array_distinct("tokens_a"), F.array_distinct("tokens_b")))
-    uni = F.size(F.array_union("tokens_a", "tokens_b"))
+    p = attach_pair_payload(
+        pairs, payload, "id", ["head", "tok_set", "token_cnt", "tfidf"]
+    )
+    head_a, head_b = F.col("head_a"), F.col("head_b")
+    inter = F.size(F.array_intersect(F.col("tok_set_a"), F.col("tok_set_b")))
+    uni = F.size(F.col("tok_set_a")) + F.size(F.col("tok_set_b")) - inter
     str_sim = (
         lev_ratio_cost2(head_a, head_b)
         if use_cost2_lev
@@ -129,7 +135,7 @@ def pair_features(
         .withColumn("tfidf_norm_b", tfidf_norm_map(F.col("tfidf_b")))
         .withColumnRenamed("token_cnt_a", "cand_token_cnt")
         .withColumnRenamed("token_cnt_b", "mention_token_cnt")
-        .drop("tokens_a", "tokens_b", "tfidf_a", "tfidf_b")
+        .drop("head_a", "head_b", "tok_set_a", "tok_set_b", "tfidf_a", "tfidf_b")
     )
 
 

@@ -40,6 +40,21 @@ from entity_linking_spark.operators.scoring import (
 )
 
 
+def _widen_input(pages: DataFrame) -> DataFrame:
+    """Repartition a narrow input to cluster parallelism.
+
+    A single large parquet file splits into only a handful of scan
+    partitions (128 MB each), which starves the CPU-heavy map work
+    (tokenize + shingle + 16 md5s/shingle) of cores — measured 185s on 7
+    of 32 cores vs ~50s wide. One cheap input shuffle fixes it; on a real
+    cluster with many files this is a no-op.
+    """
+    n_par = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < n_par:
+        return pages.repartition(n_par)
+    return pages
+
+
 @dataclass
 class LinkageConfig:
     threshold: float = 0.62
@@ -66,20 +81,27 @@ def link_pages(
     /root/reference/src/data_fetchers.py:147-149).
     """
     cfg = config or LinkageConfig()
-    blocks = block_keys(
-        pages,
-        id_col=id_col,
-        text_col=text_col,
-        url_col=url_col,
-        num_hashes=cfg.num_hashes,
-        bands=cfg.bands,
-        shingle_k=cfg.shingle_k,
-        prefix_tokens=cfg.prefix_tokens,
+    # prune to what the pipeline reads BEFORE widening/persisting — the
+    # input may carry heavy columns (html binary) that would otherwise be
+    # shuffled and cached for nothing
+    keep = [c for c in {id_col, text_col, url_col} if c]
+    pages = _widen_input(pages.select(*keep)).persist()
+    blocks = salt_mega_blocks(
+        block_keys(
+            pages,
+            id_col=id_col,
+            text_col=text_col,
+            url_col=url_col,
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            shingle_k=cfg.shingle_k,
+            prefix_tokens=cfg.prefix_tokens,
+        ),
+        max_block=cfg.max_block,
+        n_salts=cfg.n_salts,
     )
-    blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
-    # persist: the self-join and the payload join would otherwise recompute
-    # the whole blocking subtree (minhash shuffle included) on both sides —
-    # the two exchanges differ by projection so AQE cannot reuse them
+    # persist again post-cap: the pair self-join consumes it from both
+    # sides (the two exchanges differ by projection, so AQE cannot reuse)
     blocks = cap_block_size(blocks, max_block=cfg.max_block).persist()
     pairs = candidate_pairs(blocks)
     payload = doc_payload(pages, id_col=id_col, text_col=text_col).persist()
@@ -103,6 +125,7 @@ def score_candidate_pairs(
 ) -> DataFrame:
     """Intermediate product: scored candidate pairs (id_a, id_b, features, score)."""
     cfg = config or LinkageConfig()
+    pages = _widen_input(pages)
     blocks = block_keys(
         pages,
         id_col=id_col,

@@ -620,10 +620,14 @@ def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "doc_id", "text", num_hashes=16, shingle_k=3)
+    sigs = minhash_signature(
+        docs, "doc_id", "text", num_hashes=16, shingle_k=3, hash_family="md5"
+    )
     bands = sigs.where(F.col("minhash_sig")[0].isNotNull()).select(
         "doc_id",
-        F.explode(lsh_band_keys(F.col("minhash_sig"), 16, 4)).alias("band_key"),
+        F.explode(
+            lsh_band_keys(F.col("minhash_sig"), 16, 4, hash_family="md5")
+        ).alias("band_key"),
     )
     a = bands.select(F.col("doc_id").alias("id_a"), "band_key")
     b = bands.select(F.col("doc_id").alias("id_b"), "band_key")
@@ -1407,4 +1411,187 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return marked.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "last_error_ts"
+    )
+
+
+# ===========================================================================
+# Bag-of-words / IDF / TF-IDF / pooling / label-remap families — batch 5
+# (reference A4, A7, A8, A9, P7)
+# ===========================================================================
+
+@register(
+    "bow_token_counts",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok GROUP BY doc_id, token
+    """,
+)
+def bow_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words build: per-doc token counts (reference A4:
+    Counter(tokens), /root/reference/src/cached_bow.py:36-40) as the
+    exploded long table — the scalable BoW representation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@register(
+    "idf_table",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT token, count(*) AS df,
+           round(ln((SELECT n_docs FROM n)::double / count(*)), 6) AS idf
+    FROM tok GROUP BY token
+    """,
+)
+def idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF build: log(N/df) from document frequencies (reference A7 —
+    consumed from JSON, /root/reference/src/simple_dataset.py:62-63;
+    built here with one groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id", F.explode(X.words(F.col("text"))).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 6).alias("idf"),
+    )
+
+
+@register(
+    "tfidf_pair_dot",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT token, ln((SELECT n_docs FROM n)::double / count(*)) AS idf
+      FROM (SELECT DISTINCT doc_id, token FROM tf) GROUP BY token
+    ), w AS (
+      SELECT tf.doc_id, tf.token, tf.tf * idf.idf AS w
+      FROM tf JOIN idf ON tf.token = idf.token
+    ), b AS (
+      SELECT doc_id, array_to_string(list_slice({_SQL_TOKENS}, 1, 4), ' ')
+               AS block_key
+      FROM documents WHERE len({_SQL_TOKENS}) >= 4
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM b a JOIN b c ON a.block_key = c.block_key AND a.doc_id < c.doc_id
+    )
+    SELECT p.id_a, p.id_b, round(sum(wa.w * wb.w), 4) AS tfidf_dot
+    FROM pairs p
+    JOIN w wa ON wa.doc_id = p.id_a
+    JOIN w wb ON wb.doc_id = p.id_b AND wb.token = wa.token
+    GROUP BY p.id_a, p.id_b
+    """,
+)
+def tfidf_pair_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF dot product per candidate pair via explode-join-agg — the
+    shuffle formulation of reference A8 (``calc_tfidf``,
+    /root/reference/src/simple_dataset.py:117-122): sparse dot as a
+    long-table join, the form that scales when maps don't fit in a row."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    idf = (
+        tf.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.log(F.lit(float(n_docs)) / F.count("*")).alias("idf"))
+    )
+    w = tf.join(F.broadcast(idf), "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    b = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(X.words(F.col("text")), 1, 4)).alias("block_key"),
+    ).where(F.size(X.words(F.col("text"))) >= 4)
+    pairs = (
+        b.alias("a")
+        .join(b.alias("c"), "block_key")
+        .where(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b")
+        )
+    )
+    wa = w.select(F.col("doc_id").alias("id_a"), "token", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "token", F.col("w").alias("wb"))
+    return (
+        pairs.join(wa, "id_a")
+        .join(wb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 4).alias("tfidf_dot"))
+    )
+
+
+@register(
+    "embedding_label_centroid",
+    """
+    WITH e AS (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    SELECT label, pos, round(avg(v), 6) AS centroid_v
+    FROM e GROUP BY label, pos
+    """,
+)
+def embedding_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding pooling: per-label centroid via posexplode + avg —
+    reference A9's sum/mean pooling (``_f_to_vec``,
+    /root/reference/src/simple_dataset.py:133-144) in long form."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p0", "v"),
+    ).select("label", (F.col("p0") + 1).alias("pos"), "v")
+    return e.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("centroid_v")
+    )
+
+
+@register(
+    "label_remap_in_block",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_PFX} AS block_key FROM documents
+      WHERE len({_SQL_TOKENS}) >= 4
+    ), lists AS (
+      SELECT block_key, list_sort(list(doc_id)) AS members FROM b
+      GROUP BY block_key
+    )
+    SELECT b.doc_id, b.block_key,
+           list_position(l.members, b.doc_id) - 1 AS label_idx
+    FROM b JOIN lists l ON b.block_key = l.block_key
+    """,
+)
+def label_remap_in_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label → in-block position remap (reference P7:
+    ``_get_labels_for_batch``, /root/reference/src/trainer.py:94-102 —
+    label becomes its index in the candidate list, -1 when absent)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(X.words(F.col("text")), 1, 4)).alias("block_key"),
+    ).where(F.size(X.words(F.col("text"))) >= 4)
+    lists = b.groupBy("block_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members")
+    )
+    return b.join(lists, "block_key").select(
+        "doc_id",
+        "block_key",
+        (F.array_position(F.col("members"), F.col("doc_id")) - 1).alias(
+            "label_idx"
+        ),
     )
