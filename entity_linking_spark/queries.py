@@ -1595,3 +1595,114 @@ def label_remap_in_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_idx"
         ),
     )
+
+
+# ===========================================================================
+# Prior-argmax, exclusion sampling, lineage ids, dictionary lookup — batch 6
+# (reference W3, SO3, F19, J3)
+# ===========================================================================
+
+@register(
+    "prior_argmax",
+    """
+    WITH cnts AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation, count(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), r AS (
+      SELECT segment, nation, cnt,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY cnt DESC, nation) AS rn
+      FROM cnts
+    )
+    SELECT segment, nation AS top_nation, cnt FROM r WHERE rn = 1
+    """,
+)
+def prior_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common candidate per key — the reference's prior argmax used to
+    build page entity context (W3,
+    /root/reference/src/mention_context_dataset.py:241-263)."""
+    c = _t(spark, sf_dir, "customer")
+    cnts = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("segment").orderBy(F.desc("cnt"), "nation")
+    return (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("segment", F.col("nation").alias("top_nation"), "cnt")
+    )
+
+
+@register(
+    "exclusion_sample",
+    f"""
+    SELECT c_custkey, {sql_seeded_hash64('c_custkey', 99)} % 100 AS bucket
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_totalprice > 300000)
+      AND {sql_seeded_hash64('c_custkey', 99)} % 100 < 50
+    """,
+)
+def exclusion_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling with exclusion: candidates NOT in
+    the existing set (anti-join), thinned by a seeded hash — the
+    reproducible form of the reference's random-negative padding
+    (SO3, /root/reference/src/data_fetchers.py:80-89; rand() is reserved
+    for training paths, the eval path stays deterministic)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    bucket = seeded_hash64(F.col("c_custkey"), 99) % 100
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", bucket.alias("bucket"))
+        .where(bucket < 50)
+    )
+
+
+@register(
+    "run_lineage_ids",
+    """
+    SELECT o_orderpriority,
+           sha256(o_orderpriority || '|' || count(*)::varchar) AS run_id,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def run_lineage_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed run/lineage ids: sha256 over sorted params —
+    reference F19 (model naming, /root/reference/src/experiment.py:56-61);
+    here a per-group digest for stage lineage records."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sha2(
+            F.concat(
+                F.col("o_orderpriority"), F.lit("|"), F.count("*").cast("string")
+            ).cast("binary"),
+            256,
+        ).alias("run_id"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "dict_lookup_coalesce",
+    """
+    SELECT l.l_orderkey, l.l_partkey,
+           coalesce(p.p_retailprice, -1.0) AS price
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_linenumber = 1
+    """,
+)
+def dict_lookup_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dictionary lookup with a default for misses — reference
+    J3 (entity_by_page lookup with -1 fallback,
+    /root/reference/src/conll_helpers.py:95-99)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1)
+    p = _t(spark, sf_dir, "part")
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey",
+        "l_partkey",
+        F.coalesce("p_retailprice", F.lit(-1.0)).alias("price"),
+    )
