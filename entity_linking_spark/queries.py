@@ -1706,3 +1706,31 @@ def dict_lookup_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.coalesce("p_retailprice", F.lit(-1.0)).alias("price"),
     )
+
+
+@register(
+    "mention_flags",
+    """
+    SELECT doc_id,
+           substr(text, 1, 10) || ' MENTION_START_HERE '
+             || substr(text, 11, 10) || ' MENTION_END_HERE '
+             || substr(text, 21) AS flagged
+    FROM documents WHERE n_chars > 20
+    """,
+)
+def mention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention-flag insertion around a span — reference F10
+    (``MENTION_START_HERE``/``END`` markers,
+    /root/reference/src/data_transformers.py:130-141) as pure substring
+    concatenation (span = chars 11-20 for the demo)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("n_chars") > 20).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit(" MENTION_START_HERE "),
+            F.substring("text", 11, 10),
+            F.lit(" MENTION_END_HERE "),
+            F.expr("substring(text, 21)"),
+        ).alias("flagged"),
+    )
