@@ -18,6 +18,7 @@ entry, and counters live in a ``_metrics`` table
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -25,6 +26,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def config_digest(obj) -> str:
+    """Stable short digest of a config object (dataclass, dict, or repr-able).
+
+    Used to key stage reuse on the *configuration that built the stage*, not
+    just the stage name — rerunning against an existing run_dir with changed
+    blocking params must rebuild, not silently reuse stale checkpoints.
+    """
+    try:
+        import dataclasses
+
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            payload = json.dumps(dataclasses.asdict(obj), sort_keys=True, default=repr)
+        elif isinstance(obj, dict):
+            payload = json.dumps(obj, sort_keys=True, default=repr)
+        else:
+            payload = repr(obj)
+    except (TypeError, ValueError):
+        payload = repr(obj)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 class StageCheckpointer:
@@ -57,11 +79,16 @@ class StageCheckpointer:
     def _stage_path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"stage_{name}")
 
-    def is_complete(self, name: str) -> bool:
-        return (
-            self.manifest.get(name, {}).get("complete", False)
-            and os.path.exists(self._stage_path(name))
-        )
+    def is_complete(self, name: str, digest: str | None = None) -> bool:
+        entry = self.manifest.get(name, {})
+        if not (entry.get("complete", False) and os.path.exists(self._stage_path(name))):
+            return False
+        # A digest mismatch means the stage was built under a different
+        # config — treat as incomplete and rebuild rather than silently
+        # reusing a checkpoint that no longer reflects the requested params.
+        if digest is not None and entry.get("digest") != digest:
+            return False
+        return True
 
     # -- stages ------------------------------------------------------------
     def stage(
@@ -70,15 +97,19 @@ class StageCheckpointer:
         build: Callable[[], DataFrame],
         repartition_by: str | None = None,
         num_partitions: int | None = None,
+        digest: str | None = None,
     ) -> DataFrame:
         """Return the stage DataFrame, computing + persisting only if needed.
 
         ``repartition_by`` lets callers key the written layout on the
         blocking key (north_rule: shuffle partitioning keyed on blocking
         keys) so the downstream self-join reads co-partitioned data.
+
+        ``digest`` (see ``config_digest``) invalidates a completed stage
+        whose recorded digest differs — changed params force a rebuild.
         """
         path = self._stage_path(name)
-        if self.is_complete(name):
+        if self.is_complete(name, digest=digest):
             return self.spark.read.parquet(path)
         df = build()
         if repartition_by is not None:
@@ -87,20 +118,28 @@ class StageCheckpointer:
         t0 = time.time()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        self._record_metrics(name, out, time.time() - t0)
+        self._record_metrics(name, out, time.time() - t0, digest=digest)
         return out
 
     # -- lineage + counters -----------------------------------------------
-    def _record_metrics(self, name: str, df: DataFrame, secs: float) -> None:
-        """Per-partition row counters → ``_metrics`` parquet + manifest."""
+    def _record_metrics(
+        self, name: str, df: DataFrame, secs: float, digest: str | None = None
+    ) -> None:
+        """Per-partition row counters → ``_metrics/stage=<name>`` + manifest.
+
+        Overwriting a per-stage path (instead of appending to a shared
+        table) makes retries idempotent: a crash between the stage write and
+        the manifest save leaves counters that the retry replaces, so
+        lineage counters always sum to the stage row count.
+        """
         per_part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
             .withColumn("stage", F.lit(name))
             .withColumn("ts", F.current_timestamp())
         )
-        per_part.write.mode("append").parquet(
-            os.path.join(self.base_dir, "_metrics")
+        per_part.write.mode("overwrite").parquet(
+            os.path.join(self.base_dir, "_metrics", f"stage={name}")
         )
         rows = df.count()
         self.manifest[name] = {
@@ -109,11 +148,14 @@ class StageCheckpointer:
             "seconds": round(secs, 3),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "schema": df.schema.simpleString(),
+            "digest": digest,
         }
         self._save_manifest()
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base_dir, "_metrics"))
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(self.base_dir, "_metrics")
+        )
 
 
 def run_linkage_checkpointed(
@@ -142,6 +184,18 @@ def run_linkage_checkpointed(
 
     cfg = config or LinkageConfig()
     ckpt = StageCheckpointer(spark, run_dir)
+    # one digest for the whole run config: any param change (blocking,
+    # weights, threshold, column mapping) invalidates every stage built
+    # under the old config
+    dig = config_digest(
+        {
+            "config": config_digest(cfg),
+            "id_col": id_col,
+            "text_col": text_col,
+            "url_col": url_col,
+            "pipeline_version": 2,
+        }
+    )
 
     blocks = ckpt.stage(
         "blocks",
@@ -163,13 +217,23 @@ def run_linkage_checkpointed(
             max_block=cfg.max_block,
         ),
         repartition_by="block_key",
+        digest=dig,
     )
-    pairs = ckpt.stage("pairs", lambda: candidate_pairs(blocks))
+    pairs = ckpt.stage("pairs", lambda: candidate_pairs(blocks), digest=dig)
     payload = ckpt.stage(
-        "payload", lambda: doc_payload(pages, id_col=id_col, text_col=text_col)
+        "payload",
+        lambda: doc_payload(
+            pages,
+            id_col=id_col,
+            text_col=text_col,
+            topk=getattr(cfg, "payload_topk", 64),
+        ),
+        digest=dig,
     )
     scored = ckpt.stage(
-        "scored", lambda: score_pairs(pairs, payload, weights=cfg.weights)
+        "scored",
+        lambda: score_pairs(pairs, payload, weights=cfg.weights),
+        digest=dig,
     )
     edges = scored.where(F.col("score") >= cfg.threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -183,5 +247,6 @@ def run_linkage_checkpointed(
             "left",
         )
         .select("id", F.coalesce("component", F.col("id")).alias("cluster_id")),
+        digest=dig,
     )
     return clusters

@@ -78,9 +78,18 @@ def minhash_signature(
         F.col(id_col).alias("_id"),
         F.explode_outer(word_shingles(tokens, shingle_k)).alias("_shingle"),
     )
+    # Guard the null shingle explicitly: xxhash64 *skips* null arguments, so
+    # xxhash64(lit(i), NULL) would collapse to the constant xxhash64(lit(i))
+    # and every short doc (< shingle_k tokens) would share one signature —
+    # a corpus-wide mega-block per band. The when() keeps the documented
+    # all-null-signature contract for both hash families.
     if hash_family == "xxhash":
         hashes = [
-            F.xxhash64(F.lit(i), F.col("_shingle")) for i in range(num_hashes)
+            F.when(
+                F.col("_shingle").isNotNull(),
+                F.xxhash64(F.lit(i), F.col("_shingle")),
+            )
+            for i in range(num_hashes)
         ]
     else:
         hashes = [
@@ -176,7 +185,7 @@ def cap_block_size(
     key_col: str = "block_key",
 ) -> DataFrame:
     """Deterministically cap block size: keep the ``max_block`` members with
-    smallest md5(id) per key (seeded, stable — NOT rand(): the eval path
+    smallest xxhash64(id) per key (seeded, stable — NOT rand(): the eval path
     must be deterministic, ref `/root/reference/src/data_fetchers.py:147-149`
     shuffles candidates only for training).
 

@@ -18,6 +18,8 @@ Node ids are int64. String ids (urls) should be mapped through
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +100,7 @@ def connected_components(
         return int(row["n"]), int(row["s"])
 
     prev = _sig(e)
+    converged = False
     for _ in range(max_iter):
         # one materialization per round: the combined large∘small round is
         # checkpointed once (truncates lineage), then a single aggregate
@@ -105,8 +108,17 @@ def connected_components(
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _sig(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components: edge set did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds; component labels may be unconverged "
+            f"(last signature {prev}). Increase max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # After convergence every edge points child → root (star forest).
     labels = e.select(

@@ -44,49 +44,83 @@ DEFAULT_WEIGHTS: dict[str, float] = {
 
 
 def doc_payload(
-    pages: DataFrame, id_col: str = "url", text_col: str = "text"
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    topk: int = 64,
 ) -> DataFrame:
-    """Per-document scoring payload: tokens, token count, TF-IDF map.
+    """Per-document scoring payload: head, top-k token set, TF-IDF map.
 
     IDF is computed from the corpus itself (``log(N/df)``, reference builds
     it in preprocessing and loads JSON — ``src/simple_dataset.py:62-63``,
     ``src/create_compats.py:101-108``); here it's a groupBy + broadcast-join
     back onto the exploded tokens.
+
+    N (the corpus size) is folded INTO the plan as a 1-row aggregate
+    cross-joined (broadcast) into the IDF build — no driver-side
+    ``count()`` pre-pass, so constructing this DataFrame launches zero
+    jobs and the corpus is scanned once, not twice.
+
+    ``topk`` bounds the per-document payload to the ``topk``
+    highest-TF-IDF terms (both the map and the token set). The payload is
+    joined onto both sides of every candidate pair, so at web scale an
+    unbounded per-row map over the whole doc vocabulary dominates shuffle
+    bytes; cosine/Jaccard over the top-k most discriminative terms is the
+    standard bounded approximation (exact for docs with ≤ topk distinct
+    tokens). ``topk=0`` disables the cap.
     """
     toks = pages.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("tokens")
     )
-    n_docs = toks.count()
+    # 1-row corpus count: metadata-cheap scan, stays inside the plan
+    n = pages.select(F.col(id_col)).agg(F.count("*").alias("_n_docs"))
     tf = (
         toks.select("id", F.explode("tokens").alias("token"))
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
     )
+    # tf rows are unique per (id, token), so count(*) == docs containing
+    # the token — no countDistinct dedup pass needed
     idf = (
         tf.groupBy("token")
-        .agg(F.countDistinct("id").alias("df"))
-        .select("token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.log(F.col("_n_docs").cast("double") / F.col("df")).alias("idf"),
+        )
     )
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (F.col("tf") * F.col("idf")).alias("w"),
+                F.col("token").alias("token"),
+            )
+        ),
+        asc=False,  # weight desc, token desc on ties — deterministic
+    )
+    top = F.slice(entries, 1, topk) if topk else entries
     tfidf = (
         tf.join(F.broadcast(idf), "token")
         .groupBy("id")
-        .agg(
+        .agg(top.alias("_top"))
+        .select(
+            "id",
             F.map_from_entries(
-                F.collect_list(
-                    F.struct(F.col("token"), (F.col("tf") * F.col("idf")).alias("w"))
-                )
-            ).alias("tfidf")
+                F.transform("_top", lambda s: F.struct(s["token"], s["w"]))
+            ).alias("tfidf"),
+            F.transform("_top", lambda s: s["token"]).alias("top_toks"),
         )
     )
-    # carry only what pair scoring needs: the head string, the distinct
-    # token set and the tfidf map — NOT the full token array. The payload
-    # is joined onto both pair sides, so every column here is shuffled
-    # twice per pair; trimming it is the single biggest shuffle saving in
-    # the scoring stage.
+    # carry only what pair scoring needs: the head string, the top-k
+    # token set and the top-k tfidf map — NOT the full token array. The
+    # payload is joined onto both pair sides, so every column here is
+    # shuffled twice per pair; bounding it is the single biggest shuffle
+    # saving in the scoring stage.
     return toks.join(tfidf, "id", "left").select(
         "id",
         F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
-        F.array_distinct("tokens").alias("tok_set"),
+        F.coalesce("top_toks", F.array().cast("array<string>")).alias("tok_set"),
         F.size("tokens").alias("token_cnt"),
         F.coalesce(
             "tfidf", F.create_map().cast("map<string,double>")

@@ -64,6 +64,7 @@ class LinkageConfig:
     bands: int = 8
     shingle_k: int = 3
     prefix_tokens: int = 4
+    payload_topk: int = 64
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
 
 
@@ -104,7 +105,9 @@ def link_pages(
     # sides (the two exchanges differ by projection, so AQE cannot reuse)
     blocks = cap_block_size(blocks, max_block=cfg.max_block).persist()
     pairs = candidate_pairs(blocks)
-    payload = doc_payload(pages, id_col=id_col, text_col=text_col).persist()
+    payload = doc_payload(
+        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
+    ).persist()
     scored = score_pairs(pairs, payload, weights=cfg.weights)
     edges = scored.where(F.col("score") >= cfg.threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -139,7 +142,9 @@ def score_candidate_pairs(
     blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
     blocks = cap_block_size(blocks, max_block=cfg.max_block)
     pairs = candidate_pairs(blocks)
-    payload = doc_payload(pages, id_col=id_col, text_col=text_col)
+    payload = doc_payload(
+        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
+    )
     return score_pairs(pairs, payload, weights=cfg.weights)
 
 

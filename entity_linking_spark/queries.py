@@ -1066,7 +1066,8 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
     )
-    SELECT user_id, count(*) AS n_events, sum(new_sess) AS n_sessions
+    SELECT user_id, count(*) AS n_events,
+           sum(new_sess)::bigint AS n_sessions
     FROM g GROUP BY user_id
     """,
 )
@@ -1457,13 +1458,23 @@ def idf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed from JSON, /root/reference/src/simple_dataset.py:62-63;
     built here with one groupBy)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # N folded into the plan (1-row agg, broadcast cross-join) — no
+    # driver-side count() pre-pass, corpus scanned once
+    n = docs.select("doc_id").agg(F.count("*").alias("_n_docs"))
     tok = docs.select(
         "doc_id", F.explode(X.words(F.col("text"))).alias("token")
     ).distinct()
-    return tok.groupBy("token").agg(
-        F.count("*").alias("df"),
-        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 6).alias("idf"),
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(
+                F.log(F.col("_n_docs").cast("double") / F.col("df")), 6
+            ).alias("idf"),
+        )
     )
 
 
@@ -1502,13 +1513,18 @@ def tfidf_pair_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference/src/simple_dataset.py:117-122): sparse dot as a
     long-table join, the form that scales when maps don't fit in a row."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.select("doc_id").agg(F.count("*").alias("_n_docs"))
     tok = docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     idf = (
         tf.select("doc_id", "token").distinct()
         .groupBy("token")
-        .agg(F.log(F.lit(float(n_docs)) / F.count("*")).alias("idf"))
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.log(F.col("_n_docs").cast("double") / F.col("df")).alias("idf"),
+        )
     )
     w = tf.join(F.broadcast(idf), "token").select(
         "doc_id", "token", (F.col("tf") * F.col("idf")).alias("w")

@@ -6,11 +6,18 @@ delimited by ``-DOCSTART-`` lines; each other line is a token row whose
 tab-separated columns optionally carry a mention annotation
 (``token\\tB|I\\tmention\\tentity``).
 
-Spark-first re-expression: ``spark.read.text`` → a running-count window
-over DOCSTART markers assigns doc ids (no driver loop, no UDF for the
-structure) → tokens aggregate per doc; mentions come from B-rows.
-Used for fixture corpora; the same shape parses any line-delimited
-doc-markered format.
+Spark-first re-expression: ``spark.read.text`` (wholetext) → per-file line
+numbering via ``posexplode`` → a per-file running-count window over
+DOCSTART markers assigns in-file doc numbers → a tiny per-file offset
+table (one row per file, files ordered by name) makes doc ids globally
+unique and stable for multi-file/glob inputs. No driver loop, no UDF.
+
+Parallelism note: each input *file* is one task (wholetext preserves exact
+line order without a global sort); CoNLL corpora ship as a handful of
+files, so per-file parallelism is the natural grain. The old
+``monotonically_increasing_id`` + unpartitioned-window form both
+serialized the whole input through one task and mis-ordered multi-file
+globs (Spark packs splits by size, not name).
 """
 
 from __future__ import annotations
@@ -22,16 +29,37 @@ DOCSTART = "-DOCSTART-"
 
 
 def _lines_with_doc_ids(spark: SparkSession, path: str) -> DataFrame:
-    lines = spark.read.text(path).select(
-        F.monotonically_increasing_id().alias("line_no"), "value"
+    # NOTE: wholetext must be the reader kwarg — the .option("wholetext", …)
+    # string form is silently ignored by the text source (verified on 4.1)
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
     )
-    w = Window.orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
-    # doc_id = number of DOCSTART markers seen so far (1-based docs)
-    return lines.withColumn(
-        "doc_id",
-        F.sum(F.when(F.col("value").startswith(DOCSTART), 1).otherwise(0)).over(w),
-    ).where(
-        (~F.col("value").startswith(DOCSTART)) & (F.trim("value") != "")
+    lines = raw.select(
+        "file", F.posexplode(F.split("value", r"\r?\n")).alias("line_no", "value")
+    )
+    # in-file doc number = DOCSTART markers seen so far (1-based docs);
+    # window is partitioned by file, so files process in parallel
+    wf = (
+        Window.partitionBy("file")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = lines.withColumn(
+        "doc_in_file",
+        F.sum(F.when(F.col("value").startswith(DOCSTART), 1).otherwise(0)).over(wf),
+    )
+    # global doc ids: offset each file by the doc counts of all
+    # name-earlier files — a one-row-per-file aggregate, broadcast back
+    per_file = marked.groupBy("file").agg(F.max("doc_in_file").alias("n_docs"))
+    wo = Window.orderBy("file").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_file.select(
+        "file", F.coalesce(F.sum("n_docs").over(wo), F.lit(0)).alias("offset")
+    )
+    return (
+        marked.join(F.broadcast(offsets), "file")
+        .withColumn("doc_id", F.col("doc_in_file") + F.col("offset"))
+        .where((~F.col("value").startswith(DOCSTART)) & (F.trim("value") != ""))
+        .select("doc_id", "line_no", "value")
     )
 
 

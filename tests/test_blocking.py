@@ -1,0 +1,69 @@
+"""Blocking-operator unit gates (candidate generation correctness at scale).
+
+The mega-block failure mode being guarded: docs with < shingle_k tokens
+have no shingles; if the hash family maps the missing shingle to a
+*constant* instead of null, every short doc in the corpus shares one
+signature → one corpus-wide block per band → quadratic candidate pairs
+between unrelated docs.
+"""
+
+from pyspark.sql import functions as F
+
+from entity_linking_spark.operators.blocking import (
+    block_keys,
+    minhash_signature,
+    salt_mega_blocks,
+)
+
+
+def _docs(spark):
+    rows = [
+        ("a", "one two"),          # < shingle_k=3 tokens: no shingles
+        ("b", "three four"),       # < shingle_k=3 tokens: no shingles
+        ("c", "alpha beta gamma delta"),
+        ("d", "alpha beta gamma delta"),
+    ]
+    return spark.createDataFrame(rows, "id string, text string")
+
+
+def test_short_docs_get_null_signature_xxhash(spark):
+    sigs = {
+        r["id"]: r["minhash_sig"]
+        for r in minhash_signature(
+            _docs(spark), "id", "text", num_hashes=4, shingle_k=3,
+            hash_family="xxhash",
+        ).collect()
+    }
+    assert sigs["a"] == [None] * 4
+    assert sigs["b"] == [None] * 4
+    assert sigs["c"] == sigs["d"]
+    assert all(v is not None for v in sigs["c"])
+
+
+def test_short_docs_get_null_signature_md5(spark):
+    sigs = {
+        r["id"]: r["minhash_sig"]
+        for r in minhash_signature(
+            _docs(spark), "id", "text", num_hashes=4, shingle_k=3,
+            hash_family="md5",
+        ).collect()
+    }
+    assert sigs["a"] == [None] * 4
+    assert sigs["b"] == [None] * 4
+
+
+def test_short_docs_share_no_band_keys(spark):
+    # unrelated short docs must not become candidates via MinHash bands
+    docs = _docs(spark).where(F.col("id").isin("a", "b"))
+    bk = block_keys(docs, id_col="id", url_col=None, num_hashes=4, bands=2)
+    band_rows = bk.where(F.col("block_key").rlike("^b[0-9]+:")).collect()
+    assert band_rows == []
+
+
+def test_salting_bounds_block_size(spark):
+    rows = [(f"id{i}", "hot") for i in range(200)]
+    blocks = spark.createDataFrame(rows, "id string, block_key string")
+    salted = salt_mega_blocks(blocks, max_block=10, n_salts=8)
+    sizes = salted.groupBy("block_key").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 200 / 8 * 2  # roughly balanced sub-blocks
+    assert salted.count() == 200  # no rows lost

@@ -79,3 +79,17 @@ def test_singleton_nodes_kept(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     out = connected_components(df)
     assert out.count() == 2
+
+
+def test_unconverged_warns(spark):
+    import warnings
+
+    from entity_linking_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "src long, dst long"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        connected_components(edges, max_iter=1).collect()
+    assert any("fixpoint" in str(w.message) for w in rec)

@@ -42,3 +42,16 @@ def test_mentions(spark, fixture_path):
         (1, "German", "Germany"),
         (2, "Peter Blackburn", "Peter_Blackburn"),
     }
+
+
+def test_multi_file_glob(spark, tmp_path):
+    """Doc ids are globally unique and stable (file-name order) for globs."""
+    (tmp_path / "a.tsv").write_text(
+        "-DOCSTART- (1)\nAlpha\tO\n-DOCSTART- (2)\nBeta\tO\n"
+    )
+    (tmp_path / "b.tsv").write_text("-DOCSTART- (1)\nGamma\tO\n")
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_documents(spark, str(tmp_path)).collect()
+    }
+    assert docs == {1: "Alpha", 2: "Beta", 3: "Gamma"}

@@ -59,3 +59,38 @@ def test_agg_has_map_side_combine(spark, sf_dir):
     plan = _plan(queries()["pricing_summary"](spark, sf_dir))
     assert "partial_sum" in plan
     assert plan.index("partial_sum") > plan.index("Exchange")  # partial below exchange in tree print
+
+
+def test_payload_build_launches_no_jobs(spark, sf_dir):
+    # doc_payload's IDF needs the corpus size N; it must come from a 1-row
+    # aggregate INSIDE the plan, not a driver-side count() pre-pass — at
+    # 100 TB a pre-pass is a wasted full-corpus scan per pipeline run
+    from entity_linking_spark.operators.scoring import doc_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    payload = doc_payload(docs, id_col="doc_id", text_col="text")
+    payload.schema  # force analysis (but no execution)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "doc_payload construction launched Spark jobs"
+    # N is in-plan: the executed plan contains the 1-row count aggregate
+    assert "_n_docs" in _plan(payload)
+
+
+def test_payload_is_topk_bounded(spark, sf_dir):
+    # the pair join ships each side's payload through two shuffles; the
+    # tfidf map and token set must be bounded by topk, not doc vocabulary
+    from entity_linking_spark.operators.scoring import doc_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = (
+        doc_payload(docs, id_col="doc_id", text_col="text", topk=8)
+        .agg(
+            F.max(F.size(F.map_keys("tfidf"))).alias("max_map"),
+            F.max(F.size("tok_set")).alias("max_set"),
+        )
+        .collect()[0]
+    )
+    assert row["max_map"] <= 8
+    assert row["max_set"] <= 8

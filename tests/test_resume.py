@@ -82,3 +82,55 @@ def test_checkpointed_matches_direct(spark, corpus, tmp_path):
         ).collect()
     )
     assert direct == ck
+
+
+def test_digest_mismatch_forces_rebuild(spark, corpus, tmp_path):
+    """Changed config params must invalidate stages built under the old
+    config — stage reuse is keyed on (name, config digest), not name alone."""
+    run_dir = str(tmp_path / "run4")
+    ckpt = StageCheckpointer(spark, run_dir)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return corpus.select("url")
+
+    ckpt.stage("urls", build, digest="cfg-a")
+    assert calls["n"] == 1
+    # same digest → reuse
+    StageCheckpointer(spark, run_dir).stage("urls", build, digest="cfg-a")
+    assert calls["n"] == 1
+    # different digest → rebuild
+    StageCheckpointer(spark, run_dir).stage("urls", build, digest="cfg-b")
+    assert calls["n"] == 2
+
+
+def test_changed_config_rebuilds_pipeline_stages(spark, corpus, tmp_path):
+    run_dir = str(tmp_path / "run5")
+    run_linkage_checkpointed(spark, corpus, run_dir, LinkageConfig())
+    with open(os.path.join(run_dir, "manifest.json")) as fh:
+        first = json.load(fh)["blocks"]["completed_at"]
+    # different blocking params: the 'blocks' stage must NOT be reused
+    import time
+
+    time.sleep(1.1)
+    run_linkage_checkpointed(
+        spark, corpus, run_dir, LinkageConfig(max_block=32)
+    )
+    with open(os.path.join(run_dir, "manifest.json")) as fh:
+        second = json.load(fh)["blocks"]["completed_at"]
+    assert second != first
+
+
+def test_metrics_idempotent_on_retry(spark, corpus, tmp_path):
+    """A retried stage replaces its lineage counters instead of appending,
+    so counters always sum to the stage row count."""
+    run_dir = str(tmp_path / "run6")
+    ckpt = StageCheckpointer(spark, run_dir)
+    ckpt.stage("urls", lambda: corpus.select("url"), digest="a")
+    # simulate crash-before-manifest-save: drop the manifest entry and retry
+    ckpt2 = StageCheckpointer(spark, run_dir)
+    ckpt2.manifest.pop("urls")
+    ckpt2.stage("urls", lambda: corpus.select("url"), digest="a")
+    m = ckpt2.metrics().where("stage = 'urls'")
+    assert m.groupBy().sum("rows").collect()[0][0] == corpus.count()
