@@ -101,6 +101,30 @@ def token_count(c: Column) -> Column:
     return F.size(words(c))
 
 
+# Compact English stopword list (public-domain function words; the
+# reference filters with nltk's English list, src/simple_dataset.py:95 —
+# the sandbox has no nltk, so the list is inlined).
+STOPWORDS: list[str] = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "had", "has", "have", "he", "her", "his", "i", "if", "in", "is", "it",
+    "its", "no", "not", "of", "on", "or", "s", "she", "so", "t", "that",
+    "the", "their", "them", "they", "this", "to", "was", "we", "were",
+    "which", "will", "with", "you",
+]
+
+
+def remove_stopwords(
+    tokens: Column, stopwords: list[str] | None = None
+) -> Column:
+    """Drop stopword tokens, keeping duplicates and order (reference F8:
+    stopword removal before BoW featurization,
+    /root/reference/src/simple_dataset.py:95,140-143). Pure codegen —
+    F.filter with an isin literal, no shuffle, no UDF. (array_except
+    would dedup, which is wrong for a bag-of-words.)"""
+    sw = stopwords if stopwords is not None else STOPWORDS
+    return F.filter(tokens, lambda t: ~t.isin(sw))
+
+
 def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
     n = F.size(tokens)
     return F.when(n == 0, F.lit(0.0)).otherwise(

@@ -1442,6 +1442,70 @@ def bow_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hand-derived Porter2 stems for the synthetic corpus's fixed 31-token
+# vocabulary (identical across sf dirs; derivation per the published
+# Snowball spec, independently re-verified in tests/test_stem.py). Tokens
+# not listed stem to themselves under Porter2.
+_STEM_CASE = (
+    "CASE token WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg' "
+    "WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl' "
+    "WHEN 'value' THEN 'valu' ELSE token END"
+)
+
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+
+@register(
+    "stemmed_bow",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT doc_id, {_STEM_CASE} AS stem, count(*) AS tf
+    FROM tok GROUP BY doc_id, stem
+    """,
+)
+def stemmed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed bag-of-words (reference F7: SnowballStemmer over BoW tokens,
+    /root/reference/src/simple_dataset.py:110-115). Spark side runs the
+    real Porter2 implementation in an Arrow pandas UDF; the oracle maps
+    via an embedded hand-derived stem table for the corpus vocabulary."""
+    from entity_linking_spark.functions.stem import stem_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(stem_tokens(X.words(F.col("text")))).alias("stem")
+        )
+        .groupBy("doc_id", "stem")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@register(
+    "bow_stopworded",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT doc_id, token, count(*) AS tf
+    FROM tok WHERE token NOT IN ({_SQL_STOPWORDS})
+    GROUP BY doc_id, token
+    """,
+)
+def bow_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-filtered BoW (reference F8: stopword removal before
+    featurization, /root/reference/src/simple_dataset.py:95,140-143) —
+    codegen array filter, duplicates preserved."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = X.remove_stopwords(X.words(F.col("text")))
+    return (
+        docs.select("doc_id", F.explode(kept).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 @register(
     "idf_table",
     f"""
@@ -1610,6 +1674,40 @@ def label_remap_in_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position(F.col("members"), F.col("doc_id")) - 1).alias(
             "label_idx"
         ),
+    )
+
+
+@register(
+    "dense_relabel",
+    """
+    WITH surv AS (
+      SELECT label FROM embeddings GROUP BY label HAVING count(*) >= 3
+    ), r AS (
+      SELECT label,
+             (dense_rank() OVER (ORDER BY label) - 1)::bigint AS new_label
+      FROM surv
+    )
+    SELECT e.vec_id, e.label, r.new_label
+    FROM embeddings e JOIN r ON e.label = r.label
+    """,
+)
+def dense_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense entity relabeling after a min-mentions filter (reference P1:
+    surviving entities get contiguous new labels 0..K-1,
+    /root/reference/src/runner.py:95-108). The window runs over the
+    *distinct surviving labels* — a dimension-sized table, not the fact
+    table — then broadcast-joins back, so the single-partition sort is
+    over K labels, never the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    surv = (
+        emb.groupBy("label").agg(F.count("*").alias("n")).where(F.col("n") >= 3)
+    )
+    w = Window.orderBy("label")
+    relabel = surv.select(
+        "label", (F.dense_rank().over(w) - 1).cast("long").alias("new_label")
+    )
+    return emb.join(F.broadcast(relabel), "label").select(
+        "vec_id", "label", "new_label"
     )
 
 

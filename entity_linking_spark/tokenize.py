@@ -140,6 +140,78 @@ def parse_text_for_tokens(text: str) -> list[str]:
     ]
 
 
+# --- Mention-sentence recovery (reference F11) ------------------------------
+# Mirrors /root/reference/src/data_transformers.py:56-98: given character
+# offset of a mention, binary-search the sentence span containing it, merge
+# forward across sentence boundaries the mention straddles, and tokenize the
+# recovered sentence (optionally as left/right splits around the mention).
+
+
+def _satisfies(span: tuple[int, int], offset: int) -> bool:
+    # inclusive end, matching the reference's _satisfies (:56-57)
+    return span[0] <= offset <= span[1]
+
+
+def find_mention_sentence_span(
+    spans: list[tuple[int, int]], offset: int
+) -> int | None:
+    """Index of the sentence span containing ``offset`` (binary search over
+    the sorted, non-overlapping span list — data_transformers.py:59-69)."""
+    lo, hi = 0, len(spans) - 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        s, e = spans[mid]
+        if offset < s:
+            hi = mid - 1
+        elif offset > e:
+            lo = mid + 1
+        else:
+            return mid
+    return None
+
+
+def merge_sentences_across_mention(
+    spans: list[tuple[int, int]], offset: int, mention_len: int
+) -> tuple[int, int]:
+    """Extend the containing span forward until it covers the whole mention
+    (cross-sentence merge, data_transformers.py:71-81)."""
+    mention_end = offset + mention_len
+    i = find_mention_sentence_span(spans, offset)
+    if i is None:
+        raise ValueError(f"offset {offset} outside every sentence span")
+    start, end = spans[i]
+    while mention_end > end:
+        i += 1
+        end = spans[i][1]
+    return (start, end)
+
+
+def get_mention_sentence(
+    text: str, mention: str, offset: int, lim: int | None = None
+) -> list[str]:
+    """Tokens of the (merged) sentence containing the mention
+    (data_transformers.py:96-99)."""
+    spans = sentence_spans(text)
+    s, e = merge_sentences_across_mention(spans, offset, len(mention))
+    return parse_for_tokens(text[s:e])[:lim]
+
+
+def get_mention_sentence_splits(
+    text: str, mention: str, offset: int, lim: int | None = None
+) -> list[list[str]]:
+    """[left-context+mention tokens, mention+right-context tokens] — the
+    LSTM-feed shape (data_transformers.py:83-94)."""
+    spans = sentence_spans(text)
+    s, e = merge_sentences_across_mention(spans, offset, len(mention))
+    sentence = text[s:e]
+    m_idx = sentence.index(mention)
+    left = parse_for_tokens(sentence[: m_idx + len(mention)])
+    right = parse_for_tokens(sentence[m_idx:])
+    if lim is not None:
+        return [left[-lim // 2:], right[: lim // 2]]
+    return [left, right]
+
+
 # --- Arrow-batched engine UDFs ---------------------------------------------
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -161,3 +233,48 @@ def sentence_spans_udf(text: pd.Series) -> pd.Series:
     return text.map(
         lambda t: [{"start": s, "end": e} for s, e in sentence_spans(t or "")]
     )
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def mention_sentence_udf(
+    text: pd.Series, mention: pd.Series, offset: pd.Series
+) -> pd.Series:
+    """Tokens of the merged sentence around each mention (reference F11).
+    Sentence spans are memoized per distinct text within the Arrow batch —
+    mentions arrive grouped by document, so span computation is ~once per
+    doc, not once per mention."""
+    cache: dict[int, list[tuple[int, int]]] = {}
+
+    def one(t, m, off):
+        if t is None or m is None or off is None:
+            return None
+        key = id(t)
+        spans = cache.get(key)
+        if spans is None:
+            spans = sentence_spans(t)
+            cache[key] = spans
+        s, e = merge_sentences_across_mention(spans, int(off), len(m))
+        return parse_for_tokens(t[s:e])
+
+    return pd.Series(
+        [one(t, m, o) for t, m, o in zip(text, mention, offset)]
+    )
+
+
+def attach_mention_sentences(
+    mentions, docs, doc_id_col: str = "doc_id", text_col: str = "text"
+):
+    """mentions(doc_id, mention, offset) ⋈ docs(doc_id, text) →
+    + sentence_tokens column. The join broadcasts/shuffles on doc_id; a
+    repartition on doc_id upstream co-locates all mentions of a doc so the
+    per-batch span cache hits (reference builds the same lookup driver-side,
+    data_transformers.py:101-108)."""
+    joined = mentions.join(
+        docs.select(
+            F.col(doc_id_col), F.col(text_col).alias("_mtext")
+        ),
+        doc_id_col,
+    )
+    return joined.withColumn(
+        "sentence_tokens",
+        mention_sentence_udf(F.col("_mtext"), F.col("mention"), F.col("offset")),
+    ).drop("_mtext")

@@ -89,3 +89,66 @@ def test_udf_matches_plain(spark):
     rows = df.select(tokenize_udf(F.col("text")).alias("toks")).collect()
     for (text, _), row in zip(TOKEN_GOLDENS, rows):
         assert row["toks"] == parse_text_for_tokens(text), text
+
+
+# --- mention-sentence recovery (reference F11) goldens, mirroring
+# /root/reference/test/data_transformers_test.py:6-77 -----------------------
+
+from entity_linking_spark.tokenize import (  # noqa: E402
+    attach_mention_sentences,
+    find_mention_sentence_span,
+    get_mention_sentence,
+    get_mention_sentence_splits,
+)
+
+
+def test_find_mention_sentence_span():
+    spans = [(0, 3), (4, 8), (8, 12), (13, 19)]
+    assert spans[find_mention_sentence_span(spans, 10)] == (8, 12)
+
+
+def test_get_mention_sentence_splits():
+    content = "a b c. aa bb cc"
+    assert get_mention_sentence_splits(content, "bb cc", 10) == [
+        ["aa", "bb", "cc"],
+        ["bb", "cc"],
+    ]
+
+
+def test_get_mention_sentence_splits_with_merge():
+    content = "a b c. aa bb cc"
+    # mention straddles the sentence boundary → spans merge
+    # treebank keeps non-final periods attached ("c." is one token)
+    assert get_mention_sentence_splits(content, "c. aa", 4) == [
+        ["a", "b", "c.", "aa"],
+        ["c.", "aa", "bb", "cc"],
+    ]
+
+
+def test_get_mention_sentence_with_lim():
+    content = "a b c. aa bb cc"
+    assert get_mention_sentence(content, "bb", 10, lim=2) == ["aa", "bb"]
+
+
+def test_attach_mention_sentences(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c. aa bb cc")], "doc_id long, text string"
+    )
+    mentions = spark.createDataFrame(
+        [(1, "bb cc", 10), (1, "c. aa", 4)],
+        "doc_id long, mention string, offset long",
+    )
+    rows = {
+        r["mention"]: r["sentence_tokens"]
+        for r in attach_mention_sentences(mentions, docs).collect()
+    }
+    assert rows["bb cc"] == ["aa", "bb", "cc"]
+    assert rows["c. aa"] == ["a", "b", "c.", "aa", "bb", "cc"]
+    # must be Arrow-batched, never per-row Python
+    plan = (
+        attach_mention_sentences(mentions, docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
