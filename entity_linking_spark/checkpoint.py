@@ -232,10 +232,16 @@ def run_linkage_checkpointed(
     )
     scored = ckpt.stage(
         "scored",
-        lambda: score_pairs(pairs, payload, weights=cfg.weights),
+        lambda: score_pairs(
+            pairs, payload, weights=cfg.weights,
+            model=getattr(cfg, "model", None),
+        ),
         digest=dig,
     )
-    edges = scored.where(F.col("score") >= cfg.threshold).select(
+    threshold = (
+        cfg.edge_threshold if hasattr(cfg, "edge_threshold") else cfg.threshold
+    )
+    edges = scored.where(F.col("score") >= threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     clusters = ckpt.stage(

@@ -209,6 +209,7 @@ def salt_mega_blocks(
     n_salts: int = 16,
     id_col: str = "id",
     key_col: str = "block_key",
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Split oversized blocks into ``n_salts`` sub-blocks by a stable hash of
     the member id (north_rule skew handling).
@@ -217,6 +218,9 @@ def salt_mega_blocks(
     buckets of a mega-block are not compared by *this* key — mega-blocks are
     low-precision keys anyway and members keep their other keys. The pair
     count per key drops from O(B²) to O(B²/n_salts).
+
+    ``hash_family``: "xxhash" (allocation-free, pipeline default) or "md5"
+    (the DuckDB-reproducible family from ``hashing``, for oracle queries).
     """
     # per-key size via a window, not a broadcast-size subquery: the
     # broadcast variant spawns a separate exchange job that re-executes the
@@ -225,14 +229,12 @@ def salt_mega_blocks(
     # the downstream cap/pair-join shuffles on anyway
     w = Window.partitionBy(key_col)
     sized = blocks.withColumn("_bsize", F.count("*").over(w))
+    if hash_family == "xxhash":
+        salt = F.pmod(F.xxhash64(F.lit(7), F.col(id_col)), F.lit(n_salts))
+    else:
+        salt = seeded_hash64(F.col(id_col), 7) % n_salts
     salted = F.when(
         F.col("_bsize") > max_block,
-        F.concat(
-            F.col(key_col),
-            F.lit("#"),
-            F.pmod(F.xxhash64(F.lit(7), F.col(id_col)), F.lit(n_salts)).cast(
-                "string"
-            ),
-        ),
+        F.concat(F.col(key_col), F.lit("#"), salt.cast("string")),
     ).otherwise(F.col(key_col))
     return sized.select(F.col(id_col), salted.alias(key_col))

@@ -20,6 +20,8 @@ interface leaves room for a broadcast learned model inside a pandas UDF
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,11 +184,71 @@ def linear_score(weights: dict[str, float] | None = None) -> Column:
     return expr
 
 
+@dataclass
+class TrainedScorer:
+    """Learned pairwise scorer behind the same interface as the fixed
+    weights (reference swaps FixedWeights / MLP / XGBoost behind one
+    ``load_model``, ``src/eval_ltr_bow_model.py:29-45``).
+
+    Inference is a pure Catalyst expression — sigmoid(w·x + b) with the
+    learned weights baked in as literals, i.e. "broadcast" at plan level
+    with zero Python in the hot path (strictly cheaper than shipping the
+    model into a pandas UDF; a UDF is only warranted once the model stops
+    being linear). ``threshold`` 0.5 = the probability midpoint.
+    """
+
+    weights: dict[str, float] = field(default_factory=dict)
+    bias: float = 0.0
+    threshold: float = 0.5
+
+    def column(self) -> Column:
+        z = F.lit(float(self.bias))
+        for name, w in self.weights.items():
+            z = z + F.lit(float(w)) * F.col(name)
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_pair_scorer(
+    features: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    reg_param: float = 0.01,
+) -> TrainedScorer:
+    """Fit a logistic regression on labeled pair features (distributed —
+    pyspark.ml L-BFGS, so training scales with the corpus like everything
+    else) and return the weights as a :class:`TrainedScorer`."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or ["tfidf_cos", "jaccard", "str_sim", "jw_sim"]
+    vec = VectorAssembler(inputCols=cols, outputCol="_features")
+    assembled = vec.transform(
+        features.select(
+            *[F.col(c).cast("double").alias(c) for c in cols],
+            F.col(label_col).cast("double").alias(label_col),
+        )
+    )
+    lr = LogisticRegression(
+        featuresCol="_features",
+        labelCol=label_col,
+        maxIter=100,
+        regParam=reg_param,
+    )
+    model = lr.fit(assembled)
+    return TrainedScorer(
+        weights=dict(zip(cols, [float(x) for x in model.coefficients])),
+        bias=float(model.intercept),
+    )
+
+
 def score_pairs(
     pairs: DataFrame,
     payload: DataFrame,
     weights: dict[str, float] | None = None,
+    model: TrainedScorer | None = None,
 ) -> DataFrame:
-    return pair_features(pairs, payload).withColumn(
-        "score", linear_score(weights)
-    )
+    """Scored pairs; ``model`` (trained) takes precedence over fixed
+    ``weights`` — same output column either way."""
+    feats = pair_features(pairs, payload)
+    score = model.column() if model is not None else linear_score(weights)
+    return feats.withColumn("score", score)

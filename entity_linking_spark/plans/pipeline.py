@@ -35,6 +35,7 @@ from entity_linking_spark.operators.cluster import connected_components
 from entity_linking_spark.operators.pairs import candidate_pairs
 from entity_linking_spark.operators.scoring import (
     DEFAULT_WEIGHTS,
+    TrainedScorer,
     doc_payload,
     score_pairs,
 )
@@ -66,6 +67,13 @@ class LinkageConfig:
     prefix_tokens: int = 4
     payload_topk: int = 64
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
+    # learned scorer (takes precedence over fixed weights; its own
+    # probability threshold replaces `threshold`)
+    model: TrainedScorer | None = None
+
+    @property
+    def edge_threshold(self) -> float:
+        return self.model.threshold if self.model is not None else self.threshold
 
 
 def link_pages(
@@ -108,8 +116,8 @@ def link_pages(
     payload = doc_payload(
         pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
     ).persist()
-    scored = score_pairs(pairs, payload, weights=cfg.weights)
-    edges = scored.where(F.col("score") >= cfg.threshold).select(
+    scored = score_pairs(pairs, payload, weights=cfg.weights, model=cfg.model)
+    edges = scored.where(F.col("score") >= cfg.edge_threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(edges)
@@ -145,7 +153,7 @@ def score_candidate_pairs(
     payload = doc_payload(
         pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
     )
-    return score_pairs(pairs, payload, weights=cfg.weights)
+    return score_pairs(pairs, payload, weights=cfg.weights, model=cfg.model)
 
 
 def pairwise_metrics(

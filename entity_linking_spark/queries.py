@@ -889,6 +889,59 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_neardup_salted",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label::varchar AS key, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), sized AS (
+      SELECT vec_id, v, key, count(*) OVER (PARTITION BY key) AS bsize
+      FROM b
+    ), salted AS (
+      SELECT vec_id, v,
+             CASE WHEN bsize > 6
+                  THEN key || '#' ||
+                       ({sql_seeded_hash64('vec_id', 7)} % 4)::varchar
+                  ELSE key END AS key
+      FROM sized
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.key,
+           round({_sql_cosine('a.v', 'c.v')}, 6) AS cos_sim
+    FROM salted a JOIN salted c ON a.key = c.key AND a.vec_id < c.vec_id
+    WHERE round({_sql_cosine('a.v', 'c.v')}, 6) >= 0.2
+    """,
+)
+def embedding_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with mega-block salting (VERDICT r1 item 8): a
+    hot label is split into 4 deterministic sub-blocks before the pair
+    self-join, so one skewed key cannot go quadratic. Same
+    ``salt_mega_blocks`` semantics as the flagship pipeline, md5 hash
+    family so DuckDB reproduces the salt assignment bit-for-bit."""
+    from entity_linking_spark.operators.blocking import salt_mega_blocks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blocks = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").cast("string").alias("block_key")
+    )
+    salted = salt_mega_blocks(
+        blocks, max_block=6, n_salts=4, hash_family="md5"
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = salted.select(F.col("id").alias("id_a"), F.col("block_key").alias("key"))
+    c = salted.select(F.col("id").alias("id_b"), F.col("block_key").alias("key"))
+    pairs = a.join(c, "key").where(F.col("id_a") < F.col("id_b"))
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vc = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vc"))
+    cos = F.round(cosine_arrays(F.col("va"), F.col("vc")), 6)
+    return (
+        pairs.join(va, "id_a")
+        .join(vc, "id_b")
+        .select("id_a", "id_b", "key", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.2)
+    )
+
+
 # ===========================================================================
 # Text-analysis suite (language-ID, quality, token stats — SURVEY §2.8)
 # ===========================================================================

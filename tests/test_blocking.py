@@ -67,3 +67,15 @@ def test_salting_bounds_block_size(spark):
     sizes = salted.groupBy("block_key").count().agg(F.max("count")).collect()[0][0]
     assert sizes <= 200 / 8 * 2  # roughly balanced sub-blocks
     assert salted.count() == 200  # no rows lost
+
+
+def test_salted_pairs_bounded_on_skewed_fixture(spark):
+    """A hot key's candidate-pair count drops ~n_salts× after salting."""
+    from entity_linking_spark.operators.pairs import candidate_pairs
+
+    rows = [(f"id{i}", "hot") for i in range(200)]
+    blocks = spark.createDataFrame(rows, "id string, block_key string")
+    unsalted_pairs = 200 * 199 // 2
+    salted = salt_mega_blocks(blocks, max_block=10, n_salts=8)
+    n = candidate_pairs(salted).count()
+    assert n <= unsalted_pairs / 8 * 1.5
