@@ -178,6 +178,75 @@ def candidate_pairs_pfx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pair_scores_lev_cost2",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT doc_id AS id, {_SQL_PFX} AS block_key,
+             array_to_string(list_slice({_SQL_TOKENS}, 1, 8), ' ') AS head
+      FROM documents WHERE len({_SQL_TOKENS}) >= 4
+    ), pairs AS (
+      SELECT a.id AS id_a, c.id AS id_b, a.head AS sa, c.head AS sb
+      FROM b a JOIN b c ON a.block_key = c.block_key AND a.id < c.id
+    ), dp AS (
+      -- row-by-row LCS dynamic program carried as a list column; the
+      -- cost-2 (indel) distance is lensum - 2*LCS, so ratio = 2*LCS/lensum
+      SELECT id_a, id_b, sa, sb, 0 AS i,
+             list_transform(range(1, length(sb) + 2), k -> 0) AS row
+      FROM pairs
+      UNION ALL
+      SELECT id_a, id_b, sa, sb, i + 1,
+             list_transform(range(1, length(sb) + 2),
+                            k -> list_max(list_slice(raw, 1, k))) AS row
+      FROM (
+        SELECT id_a, id_b, sa, sb, i,
+               list_transform(range(1, length(sb) + 2), k ->
+                 CASE WHEN k = 1 THEN 0
+                      ELSE greatest(row[k], row[k-1] +
+                           CASE WHEN substr(sb, k-1, 1) = substr(sa, i+1, 1)
+                                THEN 1 ELSE 0 END)
+                 END) AS raw
+        FROM dp WHERE i < length(sa)
+      )
+    )
+    SELECT id_a, id_b,
+           round(2.0 * row[length(sb) + 1] / (length(sa) + length(sb)), 6)
+             AS lev2_sim
+    FROM dp WHERE i = length(sa)
+    """,
+)
+def pair_scores_lev_cost2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-2 Levenshtein ratio inside blocks — the reference's exact
+    ``Levenshtein.ratio`` semantics (substitution cost 2,
+    /root/reference/src/simple_dataset.py:180-181), Arrow pandas UDF on
+    the Spark side. The oracle computes LCS independently via a
+    recursive-CTE dynamic program (ratio = 2·LCS/lensum), so the fidelity
+    variant is value-checked, not just pytest-golden."""
+    from entity_linking_spark.functions.similarity import lev_ratio_cost2
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"), X.words(F.col("text")).alias("tokens")
+    ).where(F.size("tokens") >= 4)
+    b = toks.select(
+        "id",
+        F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("block_key"),
+        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(c, "block_key")
+        .where(F.col("a.id") < F.col("c.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.round(
+                lev_ratio_cost2(F.col("a.head"), F.col("c.head")), 6
+            ).alias("lev2_sim"),
+        )
+    )
+
+
+@register(
     "pair_scores_lev",
     f"""
     WITH b AS (
@@ -1727,6 +1796,51 @@ def label_remap_in_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position(F.col("members"), F.col("doc_id")) - 1).alias(
             "label_idx"
         ),
+    )
+
+
+@register(
+    "global_topn_limit",
+    """
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 20
+    """,
+)
+def global_topn_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order-by + LIMIT (reference O1/O3). Spark executes this as
+    TakeOrderedAndProject — per-partition top-N then a single merge, no
+    full sort/shuffle of the corpus; the tie-break on doc_id makes the
+    result total-ordered hence deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "n_chars").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    ).limit(20)
+
+
+@register(
+    "seed_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {sql_seeded_hash64('doc_id', 0)} % 10000 AS b
+          FROM documents)
+    """,
+)
+def seed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 hash split (reference S3: seed-flag row
+    ranges, /root/reference/src/data_fetchers.py:55-66 — re-expressed as a
+    stable hash-bucket projection, since row ranges impose a total order
+    that doesn't distribute)."""
+    from entity_linking_spark.operators.split import split_column
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        split_column(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).alias("split"),
     )
 
 

@@ -95,3 +95,58 @@ def read_mentions(spark: SparkSession, path: str) -> DataFrame:
         F.col("cols")[3].alias("entity"),
         "line_no",
     )
+
+
+def normalize_mention_for_search(mention: str) -> str:
+    """CoNLL mention-string repair (reference F12,
+    /root/reference/src/conll_helpers.py:58): documents are token-joined
+    with single spaces, so "U.S." appears as "U . S ." in the doc text.
+    Re-space the mention's periods/commas the same way, then undo the one
+    over-correction the reference special-cases ("D . C ." → "D.C.")."""
+    import re as _re
+
+    s = " . ".join(mention.split("."))
+    s = " , ".join(s.split(","))
+    s = _re.sub(" +", " ", s)
+    return s.replace("D . C .", "D.C.")
+
+
+def find_mention_offsets(docs: DataFrame, mentions: DataFrame) -> DataFrame:
+    """→ (doc_id, mention, line_no, offset): char offset of each mention in
+    its document's token-joined text, with sequential seek + repair
+    fallback (reference get_splits search loop, conll_helpers.py:52-66).
+
+    The seek is inherently sequential *within a document* (mentions are
+    matched in annotation order, each search starting after the previous
+    match), so the unit of parallelism is the document: applyInPandas
+    groups by doc_id and runs the seek loop per group — thousands of docs
+    process in parallel, each loop is tiny. Unlocatable mentions get
+    offset -1 (the reference stops at the first miss; recording -1 keeps
+    the operator total on malformed corpora)."""
+    import pandas as _pd
+
+    joined = mentions.join(
+        docs.select("doc_id", F.col("text").alias("_text")), "doc_id"
+    )
+
+    def seek_group(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        pdf = pdf.sort_values("line_no")
+        text = pdf["_text"].iloc[0]
+        offsets = []
+        seek = 0
+        for m in pdf["mention"]:
+            i = text.find(m, seek)
+            used = m
+            if i == -1:
+                used = normalize_mention_for_search(m)
+                i = text.find(used, seek)
+            offsets.append(i)
+            if i != -1:
+                seek = i + len(used)
+        out = pdf[["doc_id", "mention", "line_no"]].copy()
+        out["offset"] = offsets
+        return out
+
+    return joined.groupBy("doc_id").applyInPandas(
+        seek_group, "doc_id long, mention string, line_no long, offset long"
+    )

@@ -79,3 +79,18 @@ def test_salted_pairs_bounded_on_skewed_fixture(spark):
     salted = salt_mega_blocks(blocks, max_block=10, n_salts=8)
     n = candidate_pairs(salted).count()
     assert n <= unsalted_pairs / 8 * 1.5
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    from entity_linking_spark.operators.split import hash_split
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    splits = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {name: d.count() for name, d in splits.items()}
+    assert sum(counts.values()) == 1000
+    assert 700 < counts["train"] < 900
+    # deterministic: second call produces identical membership
+    again = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["k"] for r in splits["val"].collect()}
+    b = {r["k"] for r in again["val"].collect()}
+    assert a == b

@@ -55,3 +55,34 @@ def test_multi_file_glob(spark, tmp_path):
         for r in read_documents(spark, str(tmp_path)).collect()
     }
     assert docs == {1: "Alpha", 2: "Beta", 3: "Gamma"}
+
+
+def test_normalize_mention_for_search():
+    from entity_linking_spark.sources.conll import normalize_mention_for_search
+
+    # trailing space is reference-exact: 'U.S.'.split('.') ends with ''
+    assert normalize_mention_for_search("U.S.") == "U . S . "
+    assert normalize_mention_for_search("Smith, Jones") == "Smith , Jones"
+    # the one special-cased over-correction (reference conll_helpers.py:58)
+    assert normalize_mention_for_search("Washington D.C.") == "Washington D.C. "
+
+
+def test_find_mention_offsets(spark):
+    from entity_linking_spark.sources.conll import find_mention_offsets
+
+    docs = spark.createDataFrame(
+        [(1, "The U . S . economy and the U . S . dollar rose")],
+        "doc_id long, text string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "U.S.", 1), (1, "U.S.", 5), (1, "missing", 9)],
+        "doc_id long, mention string, line_no long",
+    )
+    rows = {
+        r["line_no"]: r["offset"]
+        for r in find_mention_offsets(docs, mentions).collect()
+    }
+    # first U.S. at char 4 (repaired to "U . S ."), second found after seek
+    assert rows[1] == 4
+    assert rows[5] == 28
+    assert rows[9] == -1
