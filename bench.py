@@ -53,6 +53,9 @@ BENCH_REGISTRY_QUERIES = [
     "join_agg_revenue",
     "topk_per_group",
     "window_lognorm",
+    # round-2 additions
+    "stemmed_bow",
+    "embedding_neardup_salted",
 ]
 
 

@@ -193,7 +193,7 @@ def run_linkage_checkpointed(
             "id_col": id_col,
             "text_col": text_col,
             "url_col": url_col,
-            "pipeline_version": 2,
+            "pipeline_version": 3,
         }
     )
 
@@ -210,6 +210,7 @@ def run_linkage_checkpointed(
                     bands=cfg.bands,
                     shingle_k=cfg.shingle_k,
                     prefix_tokens=cfg.prefix_tokens,
+                    hash_keys=getattr(cfg, "hash_block_keys", False),
                 ),
                 max_block=cfg.max_block,
                 n_salts=cfg.n_salts,

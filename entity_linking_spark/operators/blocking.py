@@ -138,11 +138,18 @@ def block_keys(
     bands: int = 8,
     shingle_k: int = 3,
     prefix_tokens: int = 4,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Long-format blocking table ``(id, block_key)``, deduplicated.
 
     Key namespaces are prefixed (``host:``, ``pfx:``, ``b{i}:``) so keys
     from different schemes never collide.
+
+    ``hash_keys=True`` folds every key to ``xxhash64(block_key)`` (bigint)
+    after dedup. Collision-safe (a 2^-64 collision only *merges* two
+    blocks — extra candidate pairs, recall-safe). Measured on a 320k-page
+    corpus this was ~45% SLOWER than string keys end-to-end (see
+    ``LinkageConfig.hash_block_keys``), so it is opt-in, not the default.
     """
     parts = []
     if url_col is not None:
@@ -175,7 +182,10 @@ def block_keys(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["id", "block_key"])
+    out = out.dropDuplicates(["id", "block_key"])
+    if hash_keys:
+        out = out.select("id", F.xxhash64("block_key").alias("block_key"))
+    return out
 
 
 def cap_block_size(
@@ -233,8 +243,13 @@ def salt_mega_blocks(
         salt = F.pmod(F.xxhash64(F.lit(7), F.col(id_col)), F.lit(n_salts))
     else:
         salt = seeded_hash64(F.col(id_col), 7) % n_salts
-    salted = F.when(
-        F.col("_bsize") > max_block,
-        F.concat(F.col(key_col), F.lit("#"), salt.cast("string")),
-    ).otherwise(F.col(key_col))
+    if dict(blocks.dtypes)[key_col] == "bigint":
+        # hashed-key (bigint) blocks: salt by re-hashing key with the salt
+        # value — stays 8 bytes, no string materialization
+        sub_key = F.xxhash64(F.col(key_col), salt)
+    else:
+        sub_key = F.concat(F.col(key_col), F.lit("#"), salt.cast("string"))
+    salted = F.when(F.col("_bsize") > max_block, sub_key).otherwise(
+        F.col(key_col)
+    )
     return sized.select(F.col(id_col), salted.alias(key_col))

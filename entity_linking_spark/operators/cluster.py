@@ -77,10 +77,14 @@ def connected_components(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).localCheckpoint()
     # node set comes from the raw edges: a node appearing only in a
-    # self-loop is still a (singleton) component
+    # self-loop is still a (singleton) component. Lazy on purpose — it is
+    # consumed exactly once (the final join), so an eager checkpoint here
+    # would only add a full-edge-set materialization barrier before the
+    # iteration starts (its plan roots at the checkpointed `raw`, so no
+    # upstream recompute either way).
     nodes = raw.select(F.col("src").alias("node")).union(
         raw.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint()
+    ).distinct()
     e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
     def _sig(df: DataFrame) -> tuple[int, int]:

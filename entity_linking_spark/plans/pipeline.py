@@ -66,6 +66,13 @@ class LinkageConfig:
     shingle_k: int = 3
     prefix_tokens: int = 4
     payload_topk: int = 64
+    # bigint block keys (xxhash64 of the string key) through salt/cap/
+    # pair-join. Default OFF: measured back-to-back A/B on a 320k-page
+    # corpus at local-cluster[8,1,4608] showed the hashed-key plan ~45%
+    # SLOWER (158s vs 110s) despite smaller shuffle keys — the string
+    # plan's sort/aggregate path wins on this data shape. Kept as an
+    # option for re-evaluation on wider corpora.
+    hash_block_keys: bool = False
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     # learned scorer (takes precedence over fixed weights; its own
     # probability threshold replaces `threshold`)
@@ -105,6 +112,7 @@ def link_pages(
             bands=cfg.bands,
             shingle_k=cfg.shingle_k,
             prefix_tokens=cfg.prefix_tokens,
+            hash_keys=cfg.hash_block_keys,
         ),
         max_block=cfg.max_block,
         n_salts=cfg.n_salts,
@@ -146,6 +154,7 @@ def score_candidate_pairs(
         bands=cfg.bands,
         shingle_k=cfg.shingle_k,
         prefix_tokens=cfg.prefix_tokens,
+        hash_keys=cfg.hash_block_keys,
     )
     blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
     blocks = cap_block_size(blocks, max_block=cfg.max_block)

@@ -24,16 +24,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
-    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS]``. On a cluster this module
-    is a no-op passthrough: spark-submit owns the master URL and the builder
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS]``. ``master`` overrides
+    the master URL entirely (e.g. ``local-cluster[8,1,4096]`` for the
+    multi-executor-JVM scaling evidence). On a cluster this module is a
+    no-op passthrough: spark-submit owns the master URL and the builder
     just layers engine confs on top.
     """
     n = cores or cpu_count()
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
+        SparkSession.builder.master(master or f"local[{n}]")
         .appName(app_name)
         # shuffle width ~ parallelism; AQE coalesces small post-shuffle
         # partitions at runtime so slight over-provisioning is free.

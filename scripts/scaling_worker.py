@@ -1,12 +1,21 @@
-"""Worker: run the linkage pipeline once at a given core count, print JSON.
+"""Worker: run the linkage pipeline once at a given parallelism, print JSON.
 
 Invoked by run_scaling.py in a fresh process so each measurement gets its
-own JVM (no cross-config warmup contamination).
+own driver JVM (no cross-config warmup contamination).
+
+Modes:
+  local   N  → master local[N]: one JVM, N task threads (shared heap/GC).
+  cluster N  → master local-cluster[N,1,4096]: N *separate executor JVM
+               processes*, 1 core + 4 GB heap each, real shuffle fetch
+               between them — the closest this sandbox gets to N executors
+               on a cluster, and the leg that tests per-executor-JVM
+               scaling rather than shared-heap thread scaling.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -14,15 +23,31 @@ from pyspark.sql import functions as F
 
 
 def main() -> None:
-    cores = int(sys.argv[1])
-    pages_path = sys.argv[2]
+    mode = sys.argv[1]
+    n = int(sys.argv[2])
+    pages_path = sys.argv[3]
     sys.path.insert(0, ".")
     from entity_linking_spark.plans.pipeline import LinkageConfig, link_pages
     from entity_linking_spark.session import get_spark
 
-    spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores)
+    if mode == "cluster":
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spark = get_spark(
+            f"scale-cluster{n}",
+            # worker gets 4608 MB; executor heap must be set explicitly —
+            # the local-cluster memory arg only sizes the Worker, and the
+            # executor would otherwise default to 1g and OOM its hash maps
+            master=f"local-cluster[{n},1,4608]",
+            shuffle_partitions=4 * n,
+            extra_conf={
+                "spark.executorEnv.PYTHONPATH": repo,
+                "spark.executor.memory": "4g",
+            },
+        )
+    else:
+        spark = get_spark(f"scale{n}", cores=n, shuffle_partitions=n)
     pages = spark.read.parquet(pages_path)
-    n = pages.count()  # also warms the JVM + parquet reader
+    n_docs = pages.count()  # also warms the JVM + parquet reader
     spark.range(100000).select(F.sum("id")).collect()
 
     t0 = time.time()
@@ -31,10 +56,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cores": cores,
-                "docs": n,
+                "mode": mode,
+                "n": n,
+                "docs": n_docs,
                 "seconds": round(secs, 3),
-                "docs_per_sec": round(n / secs, 2),
+                "docs_per_sec": round(n_docs / secs, 2),
             }
         )
     )
