@@ -876,6 +876,91 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {sql_seeded_hash64('vec_id', 3)} AS h
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY h, vec_id LIMIT 8
+    ), a AS (
+      SELECT e.vec_id, e.v, cent.cent_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_sql_cosine('e.v', 'cent.cv')}, 6) DESC,
+                        cent.cent_id) AS rn
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, v, cent_id AS cell FROM a WHERE rn = 1
+    ), s AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, q.cell,
+             round({_sql_cosine('q.v', 'c.v')}, 6) AS cos_sim
+      FROM cells q JOIN cells c
+        ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT qid, cid, cell, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, cid) AS rnk
+      FROM s
+    )
+    SELECT qid, cid, cell, cos_sim, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (8 seed centroids =
+    the vectors with smallest seeded hash — the sampling step of IVF
+    training, kept to one assignment pass so the oracle can reproduce it)
+    assigns every vector to its nearest cell; search then runs only
+    inside the query's cell. The scale path: the crossJoin is against 8
+    broadcast centroids (O(N·K)), and the candidate join is cell-local —
+    never all-pairs. Rounded cosine + centroid-id tie-break keep the
+    assignment bit-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        seeded_hash64(F.col("vec_id"), 3).alias("h"),
+    )
+    cent = (
+        e.orderBy("h", "vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(cosine_arrays(F.col("v"), F.col("cv")), 6)), "cent_id"
+    )
+    cells = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cent_id").alias("cell"))
+    )
+    q = cells.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+    )
+    c = cells.select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv2"), "cell"
+    )
+    s = (
+        q.join(c, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            "cell",
+            F.round(cosine_arrays(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        s.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "cid", "cell", "cos_sim", "rnk")
+    )
+
+
+@register(
     "ann_bucketed_lsh",
     f"""
     WITH b AS (

@@ -49,3 +49,31 @@ def test_tokenizer_total_function(text):
     src_alnum = sorted(c for c in text if c.isalnum())
     out_alnum = sorted(c for t in toks for c in t if c.isalnum())
     assert out_alnum == src_alnum
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=24))
+@settings(max_examples=300, deadline=None)
+def test_stemmer_total_and_bounded(word):
+    from entity_linking_spark.functions.stem import porter2_stem
+
+    s = porter2_stem(word)
+    assert isinstance(s, str)
+    # Porter2 never grows a word by more than the single 'e' that step 1b
+    # can restore, and never emits the internal Y marker
+    assert len(s) <= len(word) + 1
+    assert "Y" not in s
+    # deterministic
+    assert porter2_stem(word) == s
+
+
+@given(st.text(alphabet="abcdfgiklmnoprtv", min_size=1, max_size=16))
+@settings(max_examples=200, deadline=None)
+def test_stemmer_plural_consistency(word):
+    from entity_linking_spark.functions.stem import porter2_stem
+
+    # regular plural of a non-sibilant stem reduces to the same stem —
+    # applicable only when step 1a's own guard holds (a true vowel
+    # somewhere before the char preceding the final s; alphabet excludes
+    # y/e/u/s/x/z so the sibilant and Y-marking special cases stay out)
+    if len(word) > 2 and any(ch in "aeiou" for ch in word[:-1]):
+        assert porter2_stem(word + "s") == porter2_stem(word)
