@@ -153,8 +153,11 @@ class StageCheckpointer:
         self._save_manifest()
 
     def metrics(self) -> DataFrame:
+        # read only the per-stage subdirs — a run_dir created by an older
+        # layout may still hold flat appended files directly under
+        # _metrics/, which must not be double-counted
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
-            os.path.join(self.base_dir, "_metrics")
+            os.path.join(self.base_dir, "_metrics", "stage=*")
         )
 
 
@@ -210,7 +213,7 @@ def run_linkage_checkpointed(
                     bands=cfg.bands,
                     shingle_k=cfg.shingle_k,
                     prefix_tokens=cfg.prefix_tokens,
-                    hash_keys=getattr(cfg, "hash_block_keys", False),
+                    hash_keys=cfg.hash_block_keys,
                 ),
                 max_block=cfg.max_block,
                 n_salts=cfg.n_salts,
@@ -227,22 +230,18 @@ def run_linkage_checkpointed(
             pages,
             id_col=id_col,
             text_col=text_col,
-            topk=getattr(cfg, "payload_topk", 64),
+            topk=cfg.payload_topk,
         ),
         digest=dig,
     )
     scored = ckpt.stage(
         "scored",
         lambda: score_pairs(
-            pairs, payload, weights=cfg.weights,
-            model=getattr(cfg, "model", None),
+            pairs, payload, weights=cfg.weights, model=cfg.model
         ),
         digest=dig,
     )
-    threshold = (
-        cfg.edge_threshold if hasattr(cfg, "edge_threshold") else cfg.threshold
-    )
-    edges = scored.where(F.col("score") >= threshold).select(
+    edges = scored.where(F.col("score") >= cfg.edge_threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     clusters = ckpt.stage(

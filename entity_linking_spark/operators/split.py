@@ -32,7 +32,9 @@ def split_column(
     hi = 0
     names = list(fractions)
     for name in names[:-1]:
-        hi += int(fractions[name] * _RESOLUTION)
+        # round, not floor: 0.29 * 10000 is 2899.999... in floats, and a
+        # floored cut point would disagree with any hand-mirrored SQL
+        hi += round(fractions[name] * _RESOLUTION)
         cond = b < hi
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1])

@@ -58,7 +58,14 @@ def _lines_with_doc_ids(spark: SparkSession, path: str) -> DataFrame:
     return (
         marked.join(F.broadcast(offsets), "file")
         .withColumn("doc_id", F.col("doc_in_file") + F.col("offset"))
-        .where((~F.col("value").startswith(DOCSTART)) & (F.trim("value") != ""))
+        # doc_in_file = 0 is preamble before a file's first DOCSTART —
+        # it belongs to no document (and would otherwise collide with the
+        # previous file's last doc id in multi-file reads)
+        .where(
+            (F.col("doc_in_file") > 0)
+            & (~F.col("value").startswith(DOCSTART))
+            & (F.trim("value") != "")
+        )
         .select("doc_id", "line_no", "value")
     )
 
@@ -122,7 +129,12 @@ def find_mention_offsets(docs: DataFrame, mentions: DataFrame) -> DataFrame:
     groups by doc_id and runs the seek loop per group — thousands of docs
     process in parallel, each loop is tiny. Unlocatable mentions get
     offset -1 (the reference stops at the first miss; recording -1 keeps
-    the operator total on malformed corpora)."""
+    the operator total on malformed corpora).
+
+    ``matched`` carries the string actually found at ``offset`` — the
+    repaired form when the fallback fired — so downstream span math
+    (``attach_mention_sentences``) uses the in-text length, not the
+    annotation's. Pass ``matched`` as the mention column downstream."""
     import pandas as _pd
 
     joined = mentions.join(
@@ -133,6 +145,7 @@ def find_mention_offsets(docs: DataFrame, mentions: DataFrame) -> DataFrame:
         pdf = pdf.sort_values("line_no")
         text = pdf["_text"].iloc[0]
         offsets = []
+        matched = []
         seek = 0
         for m in pdf["mention"]:
             i = text.find(m, seek)
@@ -141,12 +154,15 @@ def find_mention_offsets(docs: DataFrame, mentions: DataFrame) -> DataFrame:
                 used = normalize_mention_for_search(m)
                 i = text.find(used, seek)
             offsets.append(i)
+            matched.append(used if i != -1 else None)
             if i != -1:
                 seek = i + len(used)
         out = pdf[["doc_id", "mention", "line_no"]].copy()
+        out["matched"] = matched
         out["offset"] = offsets
         return out
 
     return joined.groupBy("doc_id").applyInPandas(
-        seek_group, "doc_id long, mention string, line_no long, offset long"
+        seek_group,
+        "doc_id long, mention string, line_no long, matched string, offset long",
     )

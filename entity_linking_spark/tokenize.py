@@ -180,7 +180,10 @@ def merge_sentences_across_mention(
     if i is None:
         raise ValueError(f"offset {offset} outside every sentence span")
     start, end = spans[i]
-    while mention_end > end:
+    # clamp at the last span: a mention length that runs past the end of
+    # the text (possible with malformed annotations) yields the maximal
+    # span instead of an IndexError deep inside an executor task
+    while mention_end > end and i + 1 < len(spans):
         i += 1
         end = spans[i][1]
     return (start, end)
@@ -245,7 +248,9 @@ def mention_sentence_udf(
     cache: dict[int, list[tuple[int, int]]] = {}
 
     def one(t, m, off):
-        if t is None or m is None or off is None:
+        # off < 0 is find_mention_offsets' unlocatable-mention sentinel —
+        # map to null, never abort the task
+        if t is None or m is None or off is None or off < 0:
             return None
         key = id(t)
         spans = cache.get(key)

@@ -45,8 +45,15 @@ def _run_leg(mode: str, n: int, pages_path: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "scaling_worker.py"),
          mode, str(n), pages_path],
-        capture_output=True, text=True, cwd=REPO, check=True,
+        capture_output=True, text=True, cwd=REPO,
     )
+    if out.returncode != 0:
+        # surface the worker's Spark stderr — a multi-minute leg must not
+        # die with just an exit code
+        print(out.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(
+            f"scaling leg {mode}{n} failed with exit {out.returncode}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     print(line)
     return json.loads(line)

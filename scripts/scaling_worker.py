@@ -5,7 +5,7 @@ own driver JVM (no cross-config warmup contamination).
 
 Modes:
   local   N  → master local[N]: one JVM, N task threads (shared heap/GC).
-  cluster N  → master local-cluster[N,1,4096]: N *separate executor JVM
+  cluster N  → master local-cluster[N,1,4608]: N *separate executor JVM
                processes*, 1 core + 4 GB heap each, real shuffle fetch
                between them — the closest this sandbox gets to N executors
                on a cluster, and the leg that tests per-executor-JVM

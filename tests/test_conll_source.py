@@ -79,10 +79,51 @@ def test_find_mention_offsets(spark):
         "doc_id long, mention string, line_no long",
     )
     rows = {
-        r["line_no"]: r["offset"]
+        r["line_no"]: (r["offset"], r["matched"])
         for r in find_mention_offsets(docs, mentions).collect()
     }
-    # first U.S. at char 4 (repaired to "U . S ."), second found after seek
-    assert rows[1] == 4
-    assert rows[5] == 28
-    assert rows[9] == -1
+    # first U.S. at char 4 (repaired to "U . S . "), second found after
+    # seek; `matched` carries the in-text form so downstream span math
+    # uses the right length
+    assert rows[1] == (4, "U . S . ")
+    assert rows[5] == (28, "U . S . ")
+    assert rows[9] == (-1, None)
+
+
+
+def test_preamble_lines_outside_docs_are_dropped(spark, tmp_path):
+    """Token lines before a file's first DOCSTART belong to no document —
+    they must not merge into the previous file's last doc."""
+    (tmp_path / "a.tsv").write_text("-DOCSTART- (1)\nAlpha\tO\n")
+    (tmp_path / "b.tsv").write_text("Stray\tO\n-DOCSTART- (1)\nBeta\tO\n")
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in read_documents(spark, str(tmp_path)).collect()
+    }
+    assert docs == {1: "Alpha", 2: "Beta"}
+
+
+def test_offsets_chain_into_sentences_with_misses(spark):
+    """find_mention_offsets -> attach_mention_sentences end-to-end: the
+    repaired `matched` form drives span math; unlocatable mentions (-1)
+    yield null instead of aborting the job."""
+    from entity_linking_spark.sources.conll import find_mention_offsets
+    from entity_linking_spark.tokenize import attach_mention_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "The U . S . economy grew. It grew fast.")],
+        "doc_id long, text string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "U.S.", 1), (1, "missing", 2)],
+        "doc_id long, mention string, line_no long",
+    )
+    offs = find_mention_offsets(docs, mentions).withColumnRenamed(
+        "mention", "annotation"
+    ).withColumnRenamed("matched", "mention")
+    rows = {
+        r["annotation"]: r["sentence_tokens"]
+        for r in attach_mention_sentences(offs, docs).collect()
+    }
+    assert rows["U.S."] == ["The", "U", ".", "S", ".", "economy", "grew", "."]
+    assert rows["missing"] is None
