@@ -48,6 +48,13 @@ def get_spark(
         # the core count on mid-size local data (default 64MB advisory
         # collapses a 100MB shuffle onto 2 cores)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE coalescing is byte-based and cannot see per-row compute cost:
+        # with the default 1MB minPartitionSize a ~1MB pair-scoring stage
+        # coalesces to ONE task and the Arrow UDF work serializes (measured
+        # 4.1s single-task stage at sf0.1). A 64k floor keeps cheap-bytes/
+        # expensive-compute stages wide; at real scale partitions are far
+        # above 1MB and this floor is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

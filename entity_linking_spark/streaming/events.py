@@ -119,3 +119,20 @@ def run_to_completion(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+def dedup_stream(
+    events: DataFrame,
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` evicts seen-key state once the key's
+    event time falls behind the watermark — the only dedup shape that
+    survives an unbounded 100 TB/day ingest (plain ``dropDuplicates`` on a
+    stream keeps every key forever). Batch analog: the ``dedup_exact``
+    registry query; at-least-once sources (Kafka, file redelivery) make
+    this the standard first stage of a training-data ingest."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

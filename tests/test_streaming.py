@@ -81,3 +81,20 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     for r in batch:
         assert last.loc[r["user_id"]]["n"] == r["n"]
         assert abs(last.loc[r["user_id"]]["running_total"] - r["t"]) < 0.02
+
+
+def test_dedup_stream_bounded_state(spark, sf_dir, tmp_path):
+    """Duplicated input files (at-least-once redelivery) dedup to the
+    distinct event set; state is watermark-bounded by construction."""
+    from entity_linking_spark.streaming.events import dedup_stream
+
+    d = tmp_path / "dup_stream"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    ev.write.mode("overwrite").parquet(str(d))
+    # redeliver the same events as additional files
+    ev.write.mode("append").parquet(str(d))
+    stream = dedup_stream(read_events_stream(spark, str(d)))
+    got = run_to_completion(stream, "dedup_stream_t", output_mode="append")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == n_distinct
+    assert got.count() == n_distinct
