@@ -48,7 +48,7 @@ def pipeline_query(spark, sf_dir: str):
 BENCH_REGISTRY_QUERIES = [
     "minhash_signature",
     "candidate_pairs_pfx",
-    "pair_scores_jw",
+    "pair_scores",
     "pricing_summary",
     "join_agg_revenue",
     "topk_per_group",

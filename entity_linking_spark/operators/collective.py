@@ -127,6 +127,10 @@ def collective_top1(
     """
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # intra-group Arrow batch order is shuffle-dependent; sort so
+        # candidate order (and therefore every argmax tie-break) is a
+        # deterministic function of the data, not of task scheduling
+        pdf = pdf.sort_values([mention_col, cand_col], kind="mergesort")
         doc = pdf[doc_col].iloc[0]
         mention_ids, cand_lists, score_lists = [], [], []
         vecs = {}

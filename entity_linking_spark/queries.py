@@ -7,6 +7,30 @@ plan; the SQL side is an ANSI/DuckDB equivalent the driver runs for the
 value-level correctness gate. Column names and float rounding are aligned
 on both sides (the driver hash-compares values with columns sorted by name).
 
+Round-3 registry compaction (the driver's CORRECTNESS harness records at
+most 50 queries; round 2 registered 55 and the last 5 silently fell off).
+Compound queries now cover multiple §2 rows each — the merged-query →
+operator map:
+
+- ``pair_scores``            ← pair_scores_lev (unit-cost Levenshtein) +
+                               pair_scores_jw (Jaro-Winkler)
+- ``neardup_minhash``        ← LSH candidate pairs + shingle-Jaccard verify
+                               (former neardup_jaccard)
+- ``embedding_neardup_salted`` ← subsumes unsalted embedding_neardup
+- ``filter_truncate``        ← P3 predicate + P4 truncation + F10
+                               mention-flag insertion (former mention_flags)
+- ``entity_freq``            ← A1 group-count + F19 sha256 lineage ids
+                               (former run_lineage_ids)
+- ``prior_normalized``       ← A5/A6 window-normalized prior + W3 argmax
+                               rank (former prior_argmax)
+- ``bow_token_counts``       ← A4 raw BoW + F8 stopworded BoW, tagged by a
+                               ``variant`` column (former bow_stopworded)
+- anti-join coverage         ← exclusion_sample (left_anti) +
+                               prior_fallback_lookup (NOT EXISTS branch);
+                               former anti_join_fallback dropped
+- new rows: ``has_label_filter`` (P2 + drop counters),
+  ``collective_top1`` (§2.10 max-product refinement, full SQL oracle)
+
 Conventions:
 - float columns are rounded identically in both engines (round(x, N));
 - every aggregate / computed column is aliased the same on both sides;
@@ -247,7 +271,7 @@ def pair_scores_lev_cost2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pair_scores_lev",
+    "pair_scores",
     f"""
     WITH b AS (
       SELECT doc_id AS id, {_SQL_PFX} AS block_key,
@@ -256,16 +280,21 @@ def pair_scores_lev_cost2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.id AS id_a, c.id AS id_b,
            round(1.0 - levenshtein(a.head, c.head)::double
-                 / greatest(length(a.head), length(c.head)), 6) AS lev_sim
+                 / greatest(length(a.head), length(c.head)), 6) AS lev_sim,
+           round(jaro_winkler_similarity(a.head, c.head), 6) AS jw_sim
     FROM b a JOIN b c ON a.block_key = c.block_key AND a.id < c.id
     """,
 )
-def pair_scores_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein similarity inside blocks (unit-cost ratio, JVM builtin).
+def pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity pair scores inside blocks — covers TWO §2 rows in
+    one compound query (registry compacted to fit the driver's 50-row
+    CORRECTNESS window, round-2 verdict item 1):
 
-    Reference: candidate_mention_sim,
-    /root/reference/src/simple_dataset.py:180-181 (the deterministic
-    unit-cost variant; cost-2 fidelity is golden-tested separately).
+    - Levenshtein similarity (unit-cost ratio, JVM builtin — reference
+      candidate_mention_sim, /root/reference/src/simple_dataset.py:180-181;
+      cost-2 fidelity variant is oracle-checked in pair_scores_lev_cost2),
+    - Jaro-Winkler (north_star-required measure) via an Arrow-batched
+      pandas UDF bit-matched to DuckDB's implementation.
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -286,42 +315,6 @@ def pair_scores_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 lev_ratio_unit(F.col("a.head"), F.col("c.head")), 6
             ).alias("lev_sim"),
-        )
-    )
-
-
-@register(
-    "pair_scores_jw",
-    f"""
-    WITH b AS (
-      SELECT doc_id AS id, {_SQL_PFX} AS block_key,
-             array_to_string(list_slice({_SQL_TOKENS}, 1, 8), ' ') AS head
-      FROM documents WHERE len({_SQL_TOKENS}) >= 4
-    )
-    SELECT a.id AS id_a, c.id AS id_b,
-           round(jaro_winkler_similarity(a.head, c.head), 6) AS jw_sim
-    FROM b a JOIN b c ON a.block_key = c.block_key AND a.id < c.id
-    """,
-)
-def pair_scores_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaro-Winkler inside blocks (north_star-required measure), via an
-    Arrow-batched pandas UDF bit-matched to DuckDB's implementation."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id").alias("id"), X.words(F.col("text")).alias("tokens")
-    ).where(F.size("tokens") >= 4)
-    b = toks.select(
-        "id",
-        F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("block_key"),
-        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    return (
-        a.join(c, "block_key")
-        .where(F.col("a.id") < F.col("c.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
             F.round(jaro_winkler(F.col("a.head"), F.col("c.head")), 6).alias(
                 "jw_sim"
             ),
@@ -419,17 +412,31 @@ def window_lognorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_freq",
     """
-    SELECT o_orderstatus AS status, count(*) AS cnt
+    SELECT o_orderstatus AS status, count(*) AS cnt,
+           sha256(o_orderstatus || '|' || count(*)::varchar) AS run_id
     FROM orders GROUP BY o_orderstatus ORDER BY cnt DESC, status
     """,
 )
 def entity_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-count ordered desc (reference A1: entity frequency,
-    /root/reference/src/runner.py:84-88)."""
+    /root/reference/src/runner.py:84-88) PLUS F19 content-addressed
+    lineage ids — sha256 over the group's identity+count (reference model
+    naming, /root/reference/src/experiment.py:56-61). Two §2 rows in one
+    compound query; registry compacted per round-2 verdict item 1."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(F.count("*").alias("cnt"))
+        .select(
+            "status",
+            "cnt",
+            F.sha2(
+                F.concat(
+                    F.col("status"), F.lit("|"), F.col("cnt").cast("string")
+                ).cast("binary"),
+                256,
+            ).alias("run_id"),
+        )
         .orderBy(F.desc("cnt"), "status")
     )
 
@@ -497,24 +504,6 @@ def semi_join_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "anti_join_fallback",
-    """
-    SELECT c.c_custkey, c.c_mktsegment
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def anti_join_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the reference's 'mention not in prior' fallback
-    branch (/root/reference/src/data_fetchers.py:119-126)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_mktsegment"
-    )
-
-
-@register(
     "join_agg_revenue",
     """
     SELECT o.o_orderpriority, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
@@ -549,13 +538,23 @@ def join_agg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY c_mktsegment, c_nationkey
     )
     SELECT segment, nation, cnt,
-           round(cnt / sum(cnt) OVER (PARTITION BY segment), 6) AS p_prior
+           round(cnt / sum(cnt) OVER (PARTITION BY segment), 6) AS p_prior,
+           row_number() OVER (PARTITION BY segment
+                              ORDER BY cnt DESC, nation) AS prior_rank
     FROM cnts
     """,
 )
 def prior_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-normalized candidate prior p(e|m) (reference A5,
-    /root/reference/src/data_fetchers.py:183-207)."""
+    """Candidate prior with BOTH window normalization and argmax rank —
+    covers two §2 rows in one compound query (registry compacted per
+    round-2 verdict item 1):
+
+    - A5/A6 window-normalized prior p(e|m) (reference
+      /root/reference/src/data_fetchers.py:183-207),
+    - W3 prior argmax — ``prior_rank = 1`` is the reference's most-common
+      candidate per key used to build page entity context
+      (/root/reference/src/mention_context_dataset.py:241-263).
+    """
     c = _t(spark, sf_dir, "customer")
     cnts = (
         c.groupBy(
@@ -564,11 +563,13 @@ def prior_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count("*").alias("cnt"))
     )
     w = Window.partitionBy("segment")
+    wr = Window.partitionBy("segment").orderBy(F.desc("cnt"), "nation")
     return cnts.select(
         "segment",
         "nation",
         "cnt",
         F.round(F.col("cnt") / F.sum("cnt").over(w), 6).alias("p_prior"),
+        F.row_number().over(wr).alias("prior_rank"),
     )
 
 
@@ -674,15 +675,37 @@ def _sql_band_keys(num_hashes: int, bands: int) -> str:
     "neardup_minhash",
     f"""
     WITH {_sql_minhash_cte(16)},
-    bands AS ({_sql_band_keys(16, 4)})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
-      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    bands AS ({_sql_band_keys(16, 4)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct({X.sql_word_shingles(_SQL_TOKENS, 3)}) AS shset
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.shset, sb.shset))::double
+                 / (len(sa.shset) + len(sb.shset)
+                    - len(list_intersect(sa.shset, sb.shset))), 6)
+             AS jaccard_sim
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.id_a
+    JOIN sets sb ON sb.doc_id = c.id_b
     """,
 )
 def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs (16 hashes, 4 bands × 4
-    rows → catches Jaccard ≳ 0.7 pairs w.h.p. — MMDS ch.3 banding)."""
+    """MinHash-LSH near-dup candidates VERIFIED with exact shingle Jaccard —
+    the full two-stage near-dup operator in one compound query (covers the
+    former separate `neardup_minhash` + `neardup_jaccard` rows; registry
+    compacted per round-2 verdict item 1):
+
+    - candidate generation: 16 hashes, 4 bands × 4 rows → catches Jaccard
+      ≳ 0.7 pairs w.h.p. (MMDS ch.3 banding); pairs form only inside band
+      buckets — never all-pairs;
+    - verify: exact 3-token-shingle Jaccard computed only on the bucketed
+      candidates (block-local quadratic work).
+    """
     from entity_linking_spark.operators.blocking import (
         lsh_band_keys,
         minhash_signature,
@@ -700,58 +723,28 @@ def neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.select(F.col("doc_id").alias("id_a"), "band_key")
     b = bands.select(F.col("doc_id").alias("id_b"), "band_key")
-    return (
+    cand = (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-
-
-@register(
-    "neardup_jaccard",
-    f"""
-    WITH t AS (
-      SELECT doc_id AS id, {_SQL_TOKENS} AS tokens FROM documents
-      WHERE len({_SQL_TOKENS}) >= 4
-    ), b AS (
-      SELECT id, array_to_string(list_slice(tokens, 1, 4), ' ') AS block_key,
-             list_distinct({X.sql_word_shingles('tokens', 3)}) AS sh
-      FROM t
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(X.word_shingles(X.words(F.col("text")), 3)).alias(
+            "shset"
+        ),
     )
-    SELECT a.id AS id_a, c.id AS id_b,
-           round(len(list_intersect(a.sh, c.sh))::double
-                 / (len(a.sh) + len(c.sh) - len(list_intersect(a.sh, c.sh))), 6)
-             AS jaccard_sim
-    FROM b a JOIN b c ON a.block_key = c.block_key AND a.id < c.id
-    WHERE len(a.sh) > 0 AND len(c.sh) > 0
-    """,
-)
-def neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (3-token shingle) Jaccard similarity on blocked pairs —
-    the verify stage after LSH candidate generation."""
-    docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        F.col("doc_id").alias("id"), X.words(F.col("text")).alias("tokens")
-    ).where(F.size("tokens") >= 4)
-    b = t.select(
-        "id",
-        F.concat_ws(" ", F.slice("tokens", 1, 4)).alias("block_key"),
-        F.array_distinct(X.word_shingles(F.col("tokens"), 3)).alias("sh"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("c.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("c.sh")) - inter
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
     return (
-        a.join(c, "block_key")
-        .where(
-            (F.col("a.id") < F.col("c.id"))
-            & (F.size(F.col("a.sh")) > 0)
-            & (F.size(F.col("c.sh")) > 0)
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("c.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(inter.cast("double") / union, 6).alias("jaccard_sim"),
         )
     )
@@ -1010,40 +1003,6 @@ def ann_bucketed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_neardup",
-    f"""
-    WITH b AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-    )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.label,
-           round({_sql_cosine('a.v', 'c.v')}, 6) AS cos_sim
-    FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
-    WHERE round({_sql_cosine('a.v', 'c.v')}, 6) >= 0.5
-    """,
-)
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by label — the
-    embedding-space analog of blocked pair scoring."""
-    emb = _t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a, c = b.alias("a"), b.alias("c")
-    cos = F.round(cosine_arrays(F.col("a.v"), F.col("c.v")), 6)
-    return (
-        a.join(c, "label")
-        .where(F.col("a.vec_id") < F.col("c.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("c.vec_id").alias("id_b"),
-            "label",
-            cos.alias("cos_sim"),
-        )
-        .where(F.col("cos_sim") >= 0.5)
-    )
-
-
-@register(
     "embedding_neardup_salted",
     f"""
     WITH b AS (
@@ -1067,11 +1026,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup with mega-block salting (VERDICT r1 item 8): a
-    hot label is split into 4 deterministic sub-blocks before the pair
-    self-join, so one skewed key cannot go quadratic. Same
-    ``salt_mega_blocks`` semantics as the flagship pipeline, md5 hash
-    family so DuckDB reproduces the salt assignment bit-for-bit."""
+    """Embedding-cosine near-dup pairs blocked by label WITH mega-block
+    salting (VERDICT r1 item 8): a hot label is split into 4 deterministic
+    sub-blocks before the pair self-join, so one skewed key cannot go
+    quadratic. Same ``salt_mega_blocks`` semantics as the flagship
+    pipeline, md5 hash family so DuckDB reproduces the salt assignment
+    bit-for-bit. This row subsumes the former unsalted `embedding_neardup`
+    query (identical operator, minus skew handling) — registry compacted
+    per round-2 verdict item 1."""
     from entity_linking_spark.operators.blocking import salt_mega_blocks
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1391,20 +1353,49 @@ def clean_entity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_truncate",
     """
-    SELECT doc_id, substr(text, 1, 50) AS head, lang
+    SELECT doc_id, substr(text, 1, 50) AS head, lang,
+           CASE WHEN n_chars > 20
+                THEN substr(text, 1, 10) || ' MENTION_START_HERE '
+                     || substr(text, 11, 10) || ' MENTION_END_HERE '
+                     || substr(text, 21)
+           END AS flagged
     FROM documents
     WHERE length(trim(text)) > 5 AND lang IN ('en', 'de')
     """,
 )
 def filter_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-empty-content predicate + truncation projection (reference
-    P3/P4, /root/reference/src/mention_context_dataset.py:266-282)."""
+    """Compound documents projection covering THREE §2 rows (registry
+    compacted per round-2 verdict item 1):
+
+    - P3 non-empty-content predicate + P4 truncation projection (reference
+      /root/reference/src/mention_context_dataset.py:266-282),
+    - F10 mention-flag insertion around a span
+      (``MENTION_START_HERE``/``END`` markers,
+      /root/reference/src/data_transformers.py:130-141) as pure substring
+      concatenation (span = chars 11-20 for the demo; null when the doc is
+      too short for the span).
+    """
     docs = _t(spark, sf_dir, "documents")
+    flagged = F.when(
+        F.col("n_chars") > 20,
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit(" MENTION_START_HERE "),
+            F.substring("text", 11, 10),
+            F.lit(" MENTION_END_HERE "),
+            F.expr("substring(text, 21)"),
+        ),
+    )
     return (
         docs.where(
             (F.length(F.trim(F.col("text"))) > 5) & F.col("lang").isin("en", "de")
         )
-        .select("doc_id", F.substring("text", 1, 50).alias("head"), "lang")
+        .select(
+            "doc_id",
+            F.substring("text", 1, 50).alias("head"),
+            "lang",
+            flagged.alias("flagged"),
+        )
     )
 
 
@@ -1627,26 +1618,50 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference A4, A7, A8, A9, P7)
 # ===========================================================================
 
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+
 @register(
     "bow_token_counts",
     f"""
     WITH tok AS (
       SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
     )
-    SELECT doc_id, token, count(*) AS tf
+    SELECT doc_id, token, count(*) AS tf, 'raw' AS variant
     FROM tok GROUP BY doc_id, token
+    UNION ALL
+    SELECT doc_id, token, count(*) AS tf, 'stop' AS variant
+    FROM tok WHERE token NOT IN ({_SQL_STOPWORDS})
+    GROUP BY doc_id, token
     """,
 )
 def bow_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-of-words build: per-doc token counts (reference A4:
-    Counter(tokens), /root/reference/src/cached_bow.py:36-40) as the
-    exploded long table — the scalable BoW representation."""
+    """Bag-of-words build in BOTH variants, tagged — two §2 rows in one
+    compound query (registry compacted per round-2 verdict item 1):
+
+    - variant 'raw': per-doc token counts (reference A4: Counter(tokens),
+      /root/reference/src/cached_bow.py:36-40) as the exploded long table
+      — the scalable BoW representation;
+    - variant 'stop': stopword-filtered BoW (reference F8: stopword
+      removal before featurization,
+      /root/reference/src/simple_dataset.py:95,140-143) — codegen array
+      filter, duplicate tokens preserved.
+    """
     docs = _t(spark, sf_dir, "documents")
-    return (
+    raw = (
         docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
+        .withColumn("variant", F.lit("raw"))
     )
+    kept = X.remove_stopwords(X.words(F.col("text")))
+    stop = (
+        docs.select("doc_id", F.explode(kept).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("variant", F.lit("stop"))
+    )
+    return raw.unionByName(stop)
 
 
 # Hand-derived Porter2 stems for the synthetic corpus's fixed 31-token
@@ -1658,9 +1673,6 @@ _STEM_CASE = (
     "WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl' "
     "WHEN 'value' THEN 'valu' ELSE token END"
 )
-
-_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in X.STOPWORDS)
-
 
 @register(
     "stemmed_bow",
@@ -1685,30 +1697,6 @@ def stemmed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(stem_tokens(X.words(F.col("text")))).alias("stem")
         )
         .groupBy("doc_id", "stem")
-        .agg(F.count("*").alias("tf"))
-    )
-
-
-@register(
-    "bow_stopworded",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
-    )
-    SELECT doc_id, token, count(*) AS tf
-    FROM tok WHERE token NOT IN ({_SQL_STOPWORDS})
-    GROUP BY doc_id, token
-    """,
-)
-def bow_stopworded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-filtered BoW (reference F8: stopword removal before
-    featurization, /root/reference/src/simple_dataset.py:95,140-143) —
-    codegen array filter, duplicates preserved."""
-    docs = _t(spark, sf_dir, "documents")
-    kept = X.remove_stopwords(X.words(F.col("text")))
-    return (
-        docs.select("doc_id", F.explode(kept).alias("token"))
-        .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
     )
 
@@ -1885,6 +1873,60 @@ def label_remap_in_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "has_label_filter",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_SQL_PFX} AS block_key FROM documents
+      WHERE len({_SQL_TOKENS}) >= 4
+    ), lists AS (
+      SELECT block_key, list(doc_id) AS members FROM b GROUP BY block_key
+    ), lab AS (
+      SELECT b.doc_id, b.block_key,
+             CASE WHEN b.doc_id % 2 = 0 THEN b.doc_id
+                  ELSE -b.doc_id END AS label,
+             l.members
+      FROM b JOIN lists l ON b.block_key = l.block_key
+    )
+    SELECT doc_id, block_key, label
+    FROM lab WHERE list_contains(members, label)
+    """,
+)
+def has_label_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 packaged has-label filter (round-2 verdict item 4): drop rows
+    whose gold label is absent from the block's candidate list, with drop
+    counters riding the same job via ``DataFrame.observe`` — the
+    reference's printed drop counts
+    (/root/reference/src/simple_dataset.py:97-107, src/conll_dataset.py:48)
+    as plan-level metrics. The synthetic label (own id when even, else an
+    id guaranteed absent) deterministically exercises both branches;
+    tests/test_filters.py asserts the counter values.
+    """
+    from entity_linking_spark.operators.filters import filter_has_label
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(X.words(F.col("text")), 1, 4)).alias(
+            "block_key"
+        ),
+    ).where(F.size(X.words(F.col("text"))) >= 4)
+    lists = b.groupBy("block_key").agg(
+        F.collect_list("doc_id").alias("members")
+    )
+    lab = b.join(lists, "block_key").select(
+        "doc_id",
+        "block_key",
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+        .otherwise(-F.col("doc_id"))
+        .alias("label"),
+        "members",
+    )
+    return filter_has_label(lab, "members", "label").select(
+        "doc_id", "block_key", "label"
+    )
+
+
+@register(
     "global_topn_limit",
     """
     SELECT doc_id, n_chars FROM documents
@@ -1964,41 +2006,8 @@ def dense_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
-# Prior-argmax, exclusion sampling, lineage ids, dictionary lookup — batch 6
-# (reference W3, SO3, F19, J3)
+# Exclusion sampling, dictionary lookup — batch 6 (reference SO3, J3)
 # ===========================================================================
-
-@register(
-    "prior_argmax",
-    """
-    WITH cnts AS (
-      SELECT c_mktsegment AS segment, c_nationkey AS nation, count(*) AS cnt
-      FROM customer GROUP BY c_mktsegment, c_nationkey
-    ), r AS (
-      SELECT segment, nation, cnt,
-             row_number() OVER (PARTITION BY segment
-                                ORDER BY cnt DESC, nation) AS rn
-      FROM cnts
-    )
-    SELECT segment, nation AS top_nation, cnt FROM r WHERE rn = 1
-    """,
-)
-def prior_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-common candidate per key — the reference's prior argmax used to
-    build page entity context (W3,
-    /root/reference/src/mention_context_dataset.py:241-263)."""
-    c = _t(spark, sf_dir, "customer")
-    cnts = c.groupBy(
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").alias("nation"),
-    ).agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("segment").orderBy(F.desc("cnt"), "nation")
-    return (
-        cnts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("segment", F.col("nation").alias("top_nation"), "cnt")
-    )
-
 
 @register(
     "exclusion_sample",
@@ -2027,29 +2036,105 @@ def exclusion_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "run_lineage_ids",
-    """
-    SELECT o_orderpriority,
-           sha256(o_orderpriority || '|' || count(*)::varchar) AS run_id,
-           count(*) AS cnt
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def run_lineage_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-addressed run/lineage ids: sha256 over sorted params —
-    reference F19 (model naming, /root/reference/src/experiment.py:56-61);
-    here a per-group digest for stage lineage records."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.sha2(
-            F.concat(
-                F.col("o_orderpriority"), F.lit("|"), F.count("*").cast("string")
-            ).cast("binary"),
-            256,
-        ).alias("run_id"),
-        F.count("*").alias("cnt"),
+def _sql_collective_top1() -> str:
+    """Depth-1 max-product collective refinement as pure SQL (round-2
+    verdict item 7): emissions = min-max scale + log-softmax per mention;
+    factors = pruned-candidate cosine matrices normalized to log space
+    (uniform fallback when the matrix sums to 0); messages = per-leaf max
+    of (leaf emission + log factor); winner = argmax of
+    (root emission + mean message), ties to the better-ranked candidate —
+    step-for-step the math of operators/collective.py::refine_document."""
+    dot = _SQL_DOT.format(a="l.dv", b="r.dv")
+    na = _SQL_NORM.format(a="l.dv")
+    nb = _SQL_NORM.format(a="r.dv")
+    cos = f"CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END"
+    return f"""
+    WITH cand AS (
+      SELECT label::BIGINT AS doc_id,
+             (vec_id % 3)::BIGINT AS mention_id,
+             vec_id::BIGINT AS candidate_id,
+             ((vec_id * 37) % 101) / 100.0 AS score,
+             list_transform(embedding::DOUBLE[], x -> abs(x)) AS dv
+      FROM embeddings WHERE vec_id < 24
+    ), mm AS (
+      SELECT *, min(score) OVER w AS mn, max(score) OVER w AS mx
+      FROM cand WINDOW w AS (PARTITION BY doc_id, mention_id)
+    ), z AS (
+      SELECT doc_id, mention_id, candidate_id, dv, (mx = mn) AS degen,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE (score - mn) / (mx - mn) END AS z
+      FROM mm
+    ), zm AS (
+      SELECT *, max(z) OVER (PARTITION BY doc_id, mention_id) AS zmax
+      FROM z
+    ), em AS (
+      SELECT doc_id, mention_id, candidate_id, dv,
+             CASE WHEN degen THEN 0.0
+                  ELSE (z - zmax)
+                       - ln(sum(exp(z - zmax))
+                            OVER (PARTITION BY doc_id, mention_id)) END AS em
+      FROM zm
+    ), pruned AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id, mention_id
+                                   ORDER BY em DESC, candidate_id) AS r
+      FROM em QUALIFY r <= 3
+    ), rawf AS (
+      SELECT l.doc_id, l.mention_id AS lm, r.mention_id AS rm,
+             r.candidate_id AS rc, r.r AS rr, l.em AS lem,
+             {cos} AS raw
+      FROM pruned l JOIN pruned r
+        ON l.doc_id = r.doc_id AND l.mention_id <> r.mention_id
+    ), fsum AS (
+      SELECT doc_id, lm, rm, sum(raw) AS s, count(*) AS npairs
+      FROM rawf GROUP BY doc_id, lm, rm
+    ), msg AS (
+      SELECT f.doc_id, f.lm, f.rm, f.rc,
+             max(f.lem + CASE WHEN fs.s = 0 THEN ln(1.0 / fs.npairs)
+                              WHEN f.raw = 0 THEN -1e18
+                              ELSE ln(f.raw / fs.s) END) AS msg
+      FROM rawf f
+      JOIN fsum fs ON f.doc_id = fs.doc_id AND f.lm = fs.lm AND f.rm = fs.rm
+      GROUP BY f.doc_id, f.lm, f.rm, f.rc
+    ), agg AS (
+      SELECT doc_id, rm, rc, sum(msg) AS msum, count(*) AS nleaf
+      FROM msg GROUP BY doc_id, rm, rc
+    ), scored AS (
+      SELECT p.doc_id, p.mention_id, p.candidate_id, p.r,
+             p.em + coalesce(a.msum / a.nleaf, 0.0) AS total
+      FROM pruned p LEFT JOIN agg a
+        ON a.doc_id = p.doc_id AND a.rm = p.mention_id
+       AND a.rc = p.candidate_id
     )
+    SELECT doc_id, mention_id, candidate_id AS winner_id
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id, mention_id
+                               ORDER BY total DESC, r) = 1
+    """
+
+
+@register("collective_top1", _sql_collective_top1())
+def collective_top1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collective candidate refinement (SURVEY §2.10 — one-round
+    max-product on a star factor graph, reference
+    /root/reference/src/max_product.py:8-82 via src/cv_compat.py:88-120)
+    with a full value-level oracle: the depth-1 message-passing argmax is
+    re-derived in pure SQL over the same deterministic candidate table
+    (24 embeddings → docs=labels, mentions=vec_id%3, scores seeded by
+    vec_id, desc vectors = |embedding| so every factor is positive).
+    Spark side runs the real applyInPandas grouped-map operator."""
+    from entity_linking_spark.operators.collective import collective_top1
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = emb.where(F.col("vec_id") < 24).select(
+        F.col("label").cast("long").alias("doc_id"),
+        (F.col("vec_id") % 3).cast("long").alias("mention_id"),
+        F.col("vec_id").cast("long").alias("candidate_id"),
+        ((F.col("vec_id") * 37) % 101 / 100.0).alias("score"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: F.abs(x)
+        ).alias("desc_vec"),
+    )
+    return collective_top1(cand, top_k=3)
 
 
 @register(
@@ -2074,29 +2159,3 @@ def dict_lookup_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mention_flags",
-    """
-    SELECT doc_id,
-           substr(text, 1, 10) || ' MENTION_START_HERE '
-             || substr(text, 11, 10) || ' MENTION_END_HERE '
-             || substr(text, 21) AS flagged
-    FROM documents WHERE n_chars > 20
-    """,
-)
-def mention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mention-flag insertion around a span — reference F10
-    (``MENTION_START_HERE``/``END`` markers,
-    /root/reference/src/data_transformers.py:130-141) as pure substring
-    concatenation (span = chars 11-20 for the demo)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.where(F.col("n_chars") > 20).select(
-        "doc_id",
-        F.concat(
-            F.substring("text", 1, 10),
-            F.lit(" MENTION_START_HERE "),
-            F.substring("text", 11, 10),
-            F.lit(" MENTION_END_HERE "),
-            F.expr("substring(text, 21)"),
-        ).alias("flagged"),
-    )

@@ -39,9 +39,9 @@ def test_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_no_row_at_a_time_python(spark, sf_dir):
-    # pair_scores_jw uses the Jaro-Winkler UDF: must be Arrow-batched
+    # pair_scores uses the Jaro-Winkler UDF: must be Arrow-batched
     # (ArrowEvalPython), never BatchEvalPython (per-row pickling)
-    df = queries()["pair_scores_jw"](spark, sf_dir)
+    df = queries()["pair_scores"](spark, sf_dir)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
