@@ -21,11 +21,15 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+_ADDR_REPR = re.compile(r" (object|at) 0x[0-9a-fA-F]+>")
 
 
 def config_digest(obj) -> str:
@@ -34,6 +38,11 @@ def config_digest(obj) -> str:
     Used to key stage reuse on the *configuration that built the stage*, not
     just the stage name — rerunning against an existing run_dir with changed
     blocking params must rebuild, not silently reuse stale checkpoints.
+
+    Inputs must digest to the same value across processes, so a default
+    ``object.__repr__`` (which embeds a memory address and therefore
+    changes every run, silently disabling stage reuse) is rejected with a
+    ``ValueError`` — pass a dataclass, dict, or JSON-serializable value.
     """
     try:
         import dataclasses
@@ -46,6 +55,12 @@ def config_digest(obj) -> str:
             payload = repr(obj)
     except (TypeError, ValueError):
         payload = repr(obj)
+    if _ADDR_REPR.search(payload):
+        raise ValueError(
+            "config_digest input reprs with a memory address (not stable "
+            f"across processes): {payload[:200]!r} — use a dataclass, dict, "
+            "or JSON-serializable config instead"
+        )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -131,17 +146,30 @@ class StageCheckpointer:
         table) makes retries idempotent: a crash between the stage write and
         the manifest save leaves counters that the retry replaces, so
         lineage counters always sum to the stage row count.
+
+        One counting scan total: the per-partition aggregate is collected
+        (it is at most one row per partition), its sum IS the manifest row
+        count — no separate ``df.count()`` job — and the counter table is
+        written back from the already-collected local rows.
         """
-        per_part = (
+        counter_rows = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows"))
-            .withColumn("stage", F.lit(name))
-            .withColumn("ts", F.current_timestamp())
+            .collect()
+        )
+        rows = sum(r["rows"] for r in counter_rows)
+        per_part = self.spark.createDataFrame(
+            [(r["partition_id"], r["rows"]) for r in counter_rows] or [(0, 0)],
+            "partition_id int, rows long",
+        ).select(
+            "partition_id",
+            "rows",
+            F.lit(name).alias("stage"),
+            F.current_timestamp().alias("ts"),
         )
         per_part.write.mode("overwrite").parquet(
             os.path.join(self.base_dir, "_metrics", f"stage={name}")
         )
-        rows = df.count()
         self.manifest[name] = {
             "complete": True,
             "rows": rows,

@@ -154,3 +154,16 @@ def sql_fingerprint(tokens_expr: str) -> str:
         f"[{sql_md5hash64('t')} % 1000003 for t in {tokens_expr}]), "
         f"(acc, h) -> (acc * 131 + h) % 2147483647)"
     )
+
+
+def items_to_str(items: Column, sep: str = " ") -> Column:
+    """Join array items into one string (reference F20 ``items_to_str``,
+    ``/root/reference/src/utils.py`` helpers) — ``concat_ws``, codegen."""
+    return F.concat_ws(sep, F.transform(items, lambda x: x.cast("string")))
+
+
+def row_to_json(*cols: Column | str) -> Column:
+    """Serialize columns to a JSON string (reference F20 ``to_json``
+    params/results dumps, ``/root/reference/src/experiment.py:67-98``) —
+    ``F.to_json(struct(...))``, codegen."""
+    return F.to_json(F.struct(*cols))

@@ -213,6 +213,31 @@ def cap_block_size(
     )
 
 
+def shuffle_within_blocks(
+    blocks: DataFrame,
+    seed: int,
+    id_col: str = "id",
+    key_col: str = "block_key",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """TRAINING-ONLY in-block candidate shuffle (reference O5:
+    ``random.shuffle(candidate_ids)`` on the training path,
+    ``/root/reference/src/data_fetchers.py:147-149``).
+
+    Adds ``rank_col`` = the member's position in a seeded pseudo-random
+    permutation of its block. Deterministic given ``seed`` (seeded-hash
+    order, not ``rand()`` — resumable lineage needs replayable shuffles),
+    different seeds give different permutations. The EVAL path must never
+    call this: ``cap_block_size``/pair generation stay hash-stable
+    (see their docstrings), matching the reference which shuffles
+    candidates only for training batches.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col)
+    )
+    return blocks.withColumn(rank_col, F.row_number().over(w))
+
+
 def salt_mega_blocks(
     blocks: DataFrame,
     max_block: int = 64,

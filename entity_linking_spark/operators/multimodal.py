@@ -5,15 +5,14 @@ the standard large-scale layout (payload stays columnar/compressed in
 parquet; metadata is filterable without touching bytes, so Catalyst prunes
 scans on ``kind``/``mime``/size without reading payloads).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode step is STUBBED two ways, both behind the same interface:
-
-- ``decode_media(...)``          → raises NotImplementedError (the real
-  hook; wire a codec here in production),
-- ``fake_decode_features(...)``  → deterministic hash-derived feature
-  vector, CLEARLY MARKED FAKE — it exists so the Spark-side plumbing
-  (schema, Arrow batch shape, mapInPandas iterator contract,
-  partition-preserving execution) is real and testable.
+Decoding (round-2 verdict item 5): UNCOMPRESSED formats decode for real
+with only the stdlib — ``image/bmp`` (BITMAPINFOHEADER parsing via
+``struct`` → float32 RGB pixel array) and ``audio/wav`` (``wave`` module
+→ float32 PCM samples). Compressed mimes (png/jpeg/mp3/mp4…) still raise
+``NotImplementedError`` — those codecs (PIL/ffmpeg) are not in this
+container; wire them into ``decode_media`` in production, the Spark
+plumbing is unchanged. ``fake_decode_features`` remains as the
+CLEARLY-MARKED-FAKE fallback for plumbing tests over arbitrary bytes.
 
 Everything Spark-side is ``mapInPandas`` (Arrow batch iterator — the
 correct shape for bytes-heavy UDFs: one pass, no per-row Python, bounded
@@ -23,6 +22,9 @@ memory per batch).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -55,14 +57,83 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → float32 RGB array (H, W, 3) in [0, 1].
+
+    Pure-stdlib header parse (BITMAPFILEHEADER + BITMAPINFOHEADER per the
+    public BMP format): pixel offset at byte 10, dims at 18/22, bpp at 28,
+    compression at 30; rows are 4-byte padded and bottom-up when height is
+    positive; channels are stored BGR.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (width,) = struct.unpack_from("<i", payload, 18)
+    (height,) = struct.unpack_from("<i", payload, 22)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    n_rows = abs(height)
+    stride = (width * 3 + 3) // 4 * 4
+    raw = np.frombuffer(payload, np.uint8, count=stride * n_rows, offset=pix_off)
+    px = raw.reshape(n_rows, stride)[:, : width * 3].reshape(n_rows, width, 3)
+    px = px[:, :, ::-1]  # BGR → RGB
+    if height > 0:
+        px = px[::-1]  # bottom-up storage → top-down array
+    return px.astype(np.float32) / 255.0
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV → float32 samples (n_frames, n_channels) in [-1, 1]."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        channels = wf.getnchannels()
+        frames = wf.readframes(n)
+    if width == 2:
+        samples = np.frombuffer(frames, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        samples = (
+            np.frombuffer(frames, np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    return samples.reshape(-1, channels)
+
+
 def decode_media(payload: bytes, mime: str) -> np.ndarray:
-    """Real decode hook — NOT IMPLEMENTED in this container (no image/audio
-    libs baked in). Production wires PIL/ffmpeg here; the surrounding
-    Spark plumbing is unchanged."""
+    """Decode a media payload to a float32 sample/pixel array.
+
+    Real for uncompressed stdlib-decodable formats: ``image/bmp`` and
+    ``audio/wav``. Compressed mimes raise NotImplementedError — those
+    codecs (PIL/ffmpeg) are not in this container; wire them here in
+    production, the surrounding Spark plumbing is unchanged.
+    """
+    if payload is None:
+        raise ValueError("null payload")
+    if mime == "image/bmp":
+        return _decode_bmp(bytes(payload))
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _decode_wav(bytes(payload))
     raise NotImplementedError(
-        "media decoding requires codec libraries not present in this "
-        "environment; use fake_decode_features for plumbing tests"
+        f"no codec for mime {mime!r} in this environment (stdlib decodes "
+        "only image/bmp and audio/wav)"
     )
+
+
+def pooled_features(decoded: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Fixed-dim pooling of a decoded sample/pixel array: flatten, split
+    into ``dim`` contiguous chunks, mean each — the deterministic
+    resize/downsample step between decode and the embedding table."""
+    flat = np.asarray(decoded, dtype=np.float32).ravel()
+    if flat.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(flat, dim)
+    return np.array([c.mean() if c.size else 0.0 for c in chunks], np.float32)
 
 
 def fake_decode_features(payload: bytes) -> np.ndarray:
@@ -85,6 +156,9 @@ def extract_features(
     mapInPandas: one Arrow batch in, one out — payload bytes never cross
     the JVM↔Python boundary row-at-a-time, and column pruning upstream
     means batches carry only (media_id, kind, mime, payload).
+
+    ``use_real_decoder=True`` runs the stdlib codecs (BMP/WAV) and pools
+    the decoded array to FEATURE_DIM; unsupported mimes raise.
     """
     decoder = decode_media if use_real_decoder else None
 
@@ -92,7 +166,7 @@ def extract_features(
         for pdf in it:
             if decoder is not None:
                 feats = [
-                    decoder(p, m).tolist()
+                    pooled_features(decoder(p, m)).tolist()
                     for p, m in zip(pdf["payload"], pdf["mime"])
                 ]
             else:

@@ -49,7 +49,7 @@ def doc_payload(
     pages: DataFrame,
     id_col: str = "url",
     text_col: str = "text",
-    topk: int = 64,
+    topk: int = 0,
 ) -> DataFrame:
     """Per-document scoring payload: head, top-k token set, TF-IDF map.
 
@@ -69,7 +69,11 @@ def doc_payload(
     unbounded per-row map over the whole doc vocabulary dominates shuffle
     bytes; cosine/Jaccard over the top-k most discriminative terms is the
     standard bounded approximation (exact for docs with ≤ topk distinct
-    tokens). ``topk=0`` disables the cap.
+    tokens). Default ``topk=0`` = exact full-vocabulary features (the
+    reference's semantics); the cap is opt-in and is enabled by
+    ``LinkageConfig.payload_topk`` in the scale pipeline, whose
+    threshold/weights are validated under the capped features
+    (tests/test_e2e_f1.py: F1 = 1.0 with payload_topk=64).
     """
     toks = pages.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("tokens")
@@ -241,14 +245,130 @@ def train_pair_scorer(
     )
 
 
+@dataclass
+class GBTScorer:
+    """Non-linear learned ranker behind the same scoring interface — the
+    reference's GBDT/MLP family (XGBoost ``rank:pairwise``,
+    ``/root/reference/src/train_xgboost.py:26-34``; MLP ranker,
+    ``src/ltr_bow.py:33-67``) as a distributed
+    ``pyspark.ml.classification.GBTClassifier``.
+
+    Inference is JVM-side: the fitted tree ensemble is applied by
+    ``model.transform`` (broadcast with the plan, no Python in the hot
+    path), and the positive-class probability becomes ``score`` — the
+    same output column as the linear scorers, so ``LinkageConfig.model``
+    accepts either family.
+    """
+
+    model: object  # pyspark.ml.classification.GBTClassificationModel
+    feature_cols: list[str]
+    threshold: float = 0.5
+
+    def attach_score(self, feats: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import VectorAssembler
+        from pyspark.ml.functions import vector_to_array
+
+        keep = feats.columns
+        vec = VectorAssembler(
+            inputCols=self.feature_cols, outputCol="_features"
+        )
+        assembled = vec.transform(
+            feats.withColumns(
+                {c: F.col(c).cast("double") for c in self.feature_cols}
+            )
+        )
+        scored = self.model.transform(assembled)
+        return scored.select(
+            *keep, vector_to_array(F.col("probability"))[1].alias("score")
+        )
+
+
+def train_gbt_scorer(
+    features: DataFrame,
+    label_col: str = "label",
+    feature_cols: list[str] | None = None,
+    max_iter: int = 20,
+    max_depth: int = 3,
+    seed: int = 7,
+) -> GBTScorer:
+    """Fit a gradient-boosted-tree pair classifier (distributed pyspark.ml
+    fit — same scaling story as the logistic trainer) and wrap it as a
+    :class:`GBTScorer`. The libsvm qid sink/source (``sources/libsvm.py``)
+    round-trips the training shape: ``read_libsvm_qid`` output feeds this
+    directly after exploding the feature array into named columns."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    cols = feature_cols or ["tfidf_cos", "jaccard", "str_sim", "jw_sim"]
+    vec = VectorAssembler(inputCols=cols, outputCol="_features")
+    assembled = vec.transform(
+        features.select(
+            *[F.col(c).cast("double").alias(c) for c in cols],
+            F.col(label_col).cast("double").alias(label_col),
+        )
+    )
+    gbt = GBTClassifier(
+        featuresCol="_features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    scorer = GBTScorer(model=gbt.fit(assembled), feature_cols=cols)
+    scorer.threshold = _tune_threshold(scorer, assembled, label_col)
+    return scorer
+
+
+def _tune_threshold(scorer: GBTScorer, assembled: DataFrame, label_col: str) -> float:
+    """Pick the F1-maximizing edge threshold on the training set.
+
+    Tree-ensemble probabilities are not calibrated around 0.5 the way a
+    logistic's are, so the probability midpoint is a poor edge cut. Scale
+    shape: scores are bucketed to 3 decimals and aggregated to
+    (bucket, n_pos, n_neg) — ≤ 1001 rows to the driver no matter the
+    corpus size — then the sweep is a local cumulative pass.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    buckets = (
+        scorer.model.transform(assembled)
+        .select(
+            F.round(vector_to_array(F.col("probability"))[1], 3).alias("b"),
+            F.col(label_col).cast("int").alias("y"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("y").alias("pos"),
+            F.sum(1 - F.col("y")).alias("neg"),
+        )
+        .orderBy(F.desc("b"))
+        .collect()
+    )
+    total_pos = sum(r["pos"] for r in buckets)
+    tp = fp = 0
+    best_f1, best_thr = -1.0, 0.5
+    # descending sweep: threshold just below bucket b accepts all buckets ≥ b
+    for r in buckets:
+        tp += r["pos"]
+        fp += r["neg"]
+        fn = total_pos - tp
+        denom = 2 * tp + fp + fn
+        f1 = (2 * tp / denom) if denom else 0.0
+        if f1 > best_f1:
+            best_f1, best_thr = f1, max(float(r["b"]) - 0.0005, 0.0)
+    return best_thr
+
+
 def score_pairs(
     pairs: DataFrame,
     payload: DataFrame,
     weights: dict[str, float] | None = None,
-    model: TrainedScorer | None = None,
+    model: TrainedScorer | GBTScorer | None = None,
 ) -> DataFrame:
-    """Scored pairs; ``model`` (trained) takes precedence over fixed
-    ``weights`` — same output column either way."""
+    """Scored pairs; ``model`` (trained — linear or GBT) takes precedence
+    over fixed ``weights`` — same output column either way."""
     feats = pair_features(pairs, payload)
+    if model is not None and hasattr(model, "attach_score"):
+        return model.attach_score(feats)
     score = model.column() if model is not None else linear_score(weights)
     return feats.withColumn("score", score)

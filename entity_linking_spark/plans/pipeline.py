@@ -35,6 +35,7 @@ from entity_linking_spark.operators.cluster import connected_components
 from entity_linking_spark.operators.pairs import candidate_pairs
 from entity_linking_spark.operators.scoring import (
     DEFAULT_WEIGHTS,
+    GBTScorer,
     TrainedScorer,
     doc_payload,
     score_pairs,
@@ -65,6 +66,15 @@ class LinkageConfig:
     bands: int = 8
     shingle_k: int = 3
     prefix_tokens: int = 4
+    # CONTRACT NOTE (round-2 advice): payload_topk > 0 computes jaccard /
+    # tfidf_cos / tfidf_norm_* over only the top-k TF-IDF terms per doc —
+    # a bounded approximation of the reference's full-BoW features, exact
+    # for docs with ≤ topk distinct tokens. The default threshold/weights
+    # are validated under this cap (tests/test_e2e_f1.py: F1 = 1.0 at
+    # topk=64 on the labeled corpus). Set 0 for exact full-vocabulary
+    # features (doc_payload's own default); keep >0 at web scale — the
+    # payload is shuffled onto both sides of every pair, so the cap is
+    # the single biggest shuffle-byte lever in the scoring stage.
     payload_topk: int = 64
     # bigint block keys (xxhash64 of the string key) through salt/cap/
     # pair-join. Default OFF: measured back-to-back A/B on a 320k-page
@@ -74,9 +84,10 @@ class LinkageConfig:
     # option for re-evaluation on wider corpora.
     hash_block_keys: bool = False
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
-    # learned scorer (takes precedence over fixed weights; its own
-    # probability threshold replaces `threshold`)
-    model: TrainedScorer | None = None
+    # learned scorer — linear (TrainedScorer) or tree-ensemble (GBTScorer);
+    # takes precedence over fixed weights; its own probability threshold
+    # replaces `threshold`
+    model: TrainedScorer | GBTScorer | None = None
 
     @property
     def edge_threshold(self) -> float:

@@ -59,11 +59,17 @@ def read_glove(
     spark: SparkSession,
     path: str,
     add_special: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (token, embedding array<float>) from GloVe text format.
 
     Codegen all the way: split on single spaces (GloVe's delimiter), head
     is the token, tail casts to float. Malformed/empty lines are dropped.
+
+    ``dim`` sizes the special-token vectors; pass it explicitly to make
+    the reader launch zero jobs (like every other source). When omitted
+    and ``add_special`` is set, the dimension is autodetected with a
+    one-line ``first()`` probe — cheap, but a driver-side job.
     """
     lines = spark.read.text(path)
     parts = F.split(F.rtrim(F.col("value")), " ")
@@ -80,7 +86,9 @@ def read_glove(
         .where(F.length("token") > 0)
     )
     if add_special:
-        dim_row = df.select(F.size("embedding").alias("d")).first()
-        if dim_row is not None:
-            df = _special_rows(spark, int(dim_row["d"])).unionByName(df)
+        if dim is None:
+            dim_row = df.select(F.size("embedding").alias("d")).first()
+            dim = int(dim_row["d"]) if dim_row is not None else 0
+        if dim > 0:
+            df = _special_rows(spark, dim).unionByName(df)
     return df

@@ -257,7 +257,12 @@ def mention_sentence_udf(
         if spans is None:
             spans = sentence_spans(t)
             cache[key] = spans
-        s, e = merge_sentences_across_mention(spans, int(off), len(m))
+        try:
+            s, e = merge_sentences_across_mention(spans, int(off), len(m))
+        except ValueError:
+            # offset outside every sentence span (malformed annotation) —
+            # null like the off<0 path, never fail the whole Spark task
+            return None
         return parse_for_tokens(t[s:e])
 
     return pd.Series(
@@ -272,14 +277,24 @@ def attach_mention_sentences(
     + sentence_tokens column. The join broadcasts/shuffles on doc_id; a
     repartition on doc_id upstream co-locates all mentions of a doc so the
     per-batch span cache hits (reference builds the same lookup driver-side,
-    data_transformers.py:101-108)."""
+    data_transformers.py:101-108).
+
+    When the mentions frame carries a ``matched`` column (the repaired
+    form ``find_mention_offsets`` computed its offsets against — longer
+    than the raw annotation when repairs insert spaces), its length drives
+    the span math; the raw ``mention`` is only the fallback."""
     joined = mentions.join(
         docs.select(
             F.col(doc_id_col), F.col(text_col).alias("_mtext")
         ),
         doc_id_col,
     )
+    mention_form = (
+        F.coalesce(F.col("matched"), F.col("mention"))
+        if "matched" in mentions.columns
+        else F.col("mention")
+    )
     return joined.withColumn(
         "sentence_tokens",
-        mention_sentence_udf(F.col("_mtext"), F.col("mention"), F.col("offset")),
+        mention_sentence_udf(F.col("_mtext"), mention_form, F.col("offset")),
     ).drop("_mtext")

@@ -23,7 +23,10 @@ work takes 6.1s at 1 proc, 8.8s at 8, 69.6s at 32; register-bound work
 scales cleanly to 32). Both N=2→4N=8 pairs sit INSIDE that envelope; the
 8→32 thread pair is outside it and is reported transparently.
 
-Writes BENCH/BASELINE.md + BENCH/scaling.json.
+Writes per-run artifacts under BENCH/scaling_runs/ (timestamped —
+BENCH/BASELINE.md and BENCH/scaling.json are hand-curated summaries of
+repeated measurements and must NOT be clobbered by a single rerun; fold
+new numbers into them by hand).
 
 Usage: python scripts/run_scaling.py [n_entities] [legs]
   n_entities: corpus size knob (default 40000 → ~320k pages)
@@ -89,8 +92,11 @@ def main() -> None:
     docs = next(iter(results.values()))["docs"]
     summary["n_docs"] = docs
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+    run_dir = os.path.join(REPO, "BENCH", "scaling_runs")
+    os.makedirs(run_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+    summary["timestamp"] = stamp
+    with open(os.path.join(run_dir, f"scaling_{stamp}.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
 
     def row(key: str, label: str) -> str:
@@ -153,9 +159,10 @@ measurements.
 `$SPARK_GRAFT_SF_DIR` on `local[$SPARK_GRAFT_CPUS]`; see BENCH_r*.json
 recorded by the driver.
 
-Regenerate this file: `python scripts/run_scaling.py`.
+Generated by one run of `python scripts/run_scaling.py` at {stamp}; the
+curated multi-run summary lives in BENCH/BASELINE.md.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(run_dir, f"run_{stamp}.md"), "w") as fh:
         fh.write(md)
     print(json.dumps(summary))
 

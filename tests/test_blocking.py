@@ -94,3 +94,42 @@ def test_hash_split_disjoint_exhaustive(spark):
     a = {r["k"] for r in splits["val"].collect()}
     b = {r["k"] for r in again["val"].collect()}
     assert a == b
+
+
+def test_shuffle_within_blocks_seeded(spark):
+    from entity_linking_spark.operators.blocking import shuffle_within_blocks
+
+    blocks = spark.createDataFrame(
+        [(i, "k%d" % (i % 2)) for i in range(20)], "id long, block_key string"
+    )
+    def order(seed):
+        rows = shuffle_within_blocks(blocks, seed).collect()
+        return {
+            k: [r["id"] for r in sorted(rows, key=lambda r: (r["block_key"], r["shuffle_rank"]))
+                if r["block_key"] == k]
+            for k in ("k0", "k1")
+        }
+
+    a1, a2, b = order(7), order(7), order(8)
+    assert a1 == a2                      # same seed → same permutation
+    assert a1 != b                       # different seed → different one
+    assert sorted(a1["k0"]) == list(range(0, 20, 2))  # a permutation, no loss
+    # eval path unaffected: cap_block_size ordering has no shuffle_rank
+    from entity_linking_spark.operators.blocking import cap_block_size
+
+    capped = cap_block_size(blocks, max_block=3)
+    assert "shuffle_rank" not in capped.columns
+
+
+def test_items_to_str_and_json(spark):
+    from pyspark.sql import functions as F
+
+    from entity_linking_spark.functions.text import items_to_str, row_to_json
+
+    df = spark.createDataFrame([([1, 2, 3], "x")], "a array<long>, s string")
+    row = df.select(
+        items_to_str(F.col("a"), "|").alias("joined"),
+        row_to_json(F.col("s"), F.col("a")).alias("js"),
+    ).collect()[0]
+    assert row["joined"] == "1|2|3"
+    assert row["js"] == '{"s":"x","a":[1,2,3]}'

@@ -134,3 +134,39 @@ def test_metrics_idempotent_on_retry(spark, corpus, tmp_path):
     ckpt2.stage("urls", lambda: corpus.select("url"), digest="a")
     m = ckpt2.metrics().where("stage = 'urls'")
     assert m.groupBy().sum("rows").collect()[0][0] == corpus.count()
+
+
+def test_stage_write_runs_no_separate_count(spark, tmp_path, monkeypatch):
+    # round-2 verdict item 8: the manifest row count must come from the
+    # per-partition lineage counters (one counting scan), never from an
+    # extra df.count() job over the stage
+    from pyspark.sql import DataFrame
+
+    from entity_linking_spark.checkpoint import StageCheckpointer
+
+    def boom(self):
+        raise AssertionError("df.count() called during stage checkpoint")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    ckpt = StageCheckpointer(spark, str(tmp_path / "run"))
+    out = ckpt.stage("s1", lambda: spark.range(100).withColumnRenamed("id", "v"))
+    assert ckpt.manifest["s1"]["rows"] == 100
+    counters = spark.read.parquet(
+        str(tmp_path / "run" / "_metrics" / "stage=s1")
+    )
+    assert sum(r["rows"] for r in counters.collect()) == 100
+    assert len(out.columns) == 1
+
+
+def test_config_digest_rejects_address_reprs():
+    import pytest as _pytest
+
+    from entity_linking_spark.checkpoint import config_digest
+
+    class Opaque:
+        pass
+
+    with _pytest.raises(ValueError, match="memory address"):
+        config_digest(Opaque())
+    # dataclasses / dicts / scalars stay stable
+    assert config_digest({"a": 1}) == config_digest({"a": 1})
