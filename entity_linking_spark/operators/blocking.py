@@ -182,7 +182,15 @@ def block_keys(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.dropDuplicates(["id", "block_key"])
+    # NO dedup shuffle here (round-3 scaling fix): every scheme emits
+    # (id, key) rows that are unique by construction — ≤1 host: and ≤1
+    # pfx: key per id, and band keys carry distinct b{i}: prefixes with
+    # one key per (id, band) — and the namespaces never collide, so a
+    # dropDuplicates(["id","block_key"]) was a full extra shuffle of the
+    # biggest table in the pipeline (keyed differently from the
+    # block_key-partitioned salt/cap/join downstream) that removed zero
+    # rows. Pair-level dedup in candidate_pairs covers any residual
+    # duplication (including the recall-safe bigint fold collisions).
     if hash_keys:
         out = out.select("id", F.xxhash64("block_key").alias("block_key"))
     return out

@@ -85,6 +85,16 @@ def doc_payload(
         .groupBy("id", "token")
         .agg(F.count("*").alias("tf"))
     )
+    # head + token_cnt are computed NARROW (pre-shuffle projection of the
+    # scan) rather than joining the full token arrays by id — tokenizing
+    # twice is cheap map CPU, while shuffling every document's whole token
+    # array was the single largest byte stream of the payload stage on a
+    # memory-bandwidth-bound host (round-3 scaling fix)
+    slim = toks.select(
+        "id",
+        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
+        F.size("tokens").alias("token_cnt"),
+    )
     # tf rows are unique per (id, token), so count(*) == docs containing
     # the token — no countDistinct dedup pass needed
     idf = (
@@ -115,19 +125,17 @@ def doc_payload(
             F.map_from_entries(
                 F.transform("_top", lambda s: F.struct(s["token"], s["w"]))
             ).alias("tfidf"),
-            F.transform("_top", lambda s: s["token"]).alias("top_toks"),
         )
     )
-    # carry only what pair scoring needs: the head string, the top-k
-    # token set and the top-k tfidf map — NOT the full token array. The
-    # payload is joined onto both pair sides, so every column here is
-    # shuffled twice per pair; bounding it is the single biggest shuffle
-    # saving in the scoring stage.
-    return toks.join(tfidf, "id", "left").select(
+    # carry only what pair scoring needs: the head string and the (top-k)
+    # tfidf map — NOT the full token array, and NO separate token-set
+    # column (the map's keys ARE the token set; duplicating them as an
+    # array doubled the payload's string bytes, which are shuffled onto
+    # both sides of every pair — round-3 scaling fix).
+    return slim.join(tfidf, "id", "left").select(
         "id",
-        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head"),
-        F.coalesce("top_toks", F.array().cast("array<string>")).alias("tok_set"),
-        F.size("tokens").alias("token_cnt"),
+        "head",
+        "token_cnt",
         F.coalesce(
             "tfidf", F.create_map().cast("map<string,double>")
         ).alias("tfidf"),
@@ -156,11 +164,14 @@ def pair_features(
       tfidf_norm_a/b   — TF-IDF L2 norms (ref: candidate_tfidf_norm)
     """
     p = attach_pair_payload(
-        pairs, payload, "id", ["head", "tok_set", "token_cnt", "tfidf"]
+        pairs, payload, "id", ["head", "token_cnt", "tfidf"]
     )
     head_a, head_b = F.col("head_a"), F.col("head_b")
-    inter = F.size(F.array_intersect(F.col("tok_set_a"), F.col("tok_set_b")))
-    uni = F.size(F.col("tok_set_a")) + F.size(F.col("tok_set_b")) - inter
+    # the token set IS the tfidf map's key set — no separate array column
+    set_a = F.map_keys(F.col("tfidf_a"))
+    set_b = F.map_keys(F.col("tfidf_b"))
+    inter = F.size(F.array_intersect(set_a, set_b))
+    uni = F.size(set_a) + F.size(set_b) - inter
     str_sim = (
         lev_ratio_cost2(head_a, head_b)
         if use_cost2_lev
@@ -175,7 +186,7 @@ def pair_features(
         .withColumn("tfidf_norm_b", tfidf_norm_map(F.col("tfidf_b")))
         .withColumnRenamed("token_cnt_a", "cand_token_cnt")
         .withColumnRenamed("token_cnt_b", "mention_token_cnt")
-        .drop("head_a", "head_b", "tok_set_a", "tok_set_b", "tfidf_a", "tfidf_b")
+        .drop("head_a", "head_b", "tfidf_a", "tfidf_b")
     )
 
 

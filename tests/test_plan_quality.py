@@ -84,13 +84,11 @@ def test_payload_is_topk_bounded(spark, sf_dir):
     from entity_linking_spark.operators.scoring import doc_payload
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    row = (
-        doc_payload(docs, id_col="doc_id", text_col="text", topk=8)
-        .agg(
-            F.max(F.size(F.map_keys("tfidf"))).alias("max_map"),
-            F.max(F.size("tok_set")).alias("max_set"),
-        )
-        .collect()[0]
-    )
+    payload = doc_payload(docs, id_col="doc_id", text_col="text", topk=8)
+    # the token set must NOT be a separate column — it is the map's keys
+    # (a duplicate array would double the payload's shuffled string bytes)
+    assert "tok_set" not in payload.columns
+    row = payload.agg(
+        F.max(F.size(F.map_keys("tfidf"))).alias("max_map")
+    ).collect()[0]
     assert row["max_map"] <= 8
-    assert row["max_set"] <= 8
