@@ -85,7 +85,13 @@ def connected_components(
     nodes = raw.select(F.col("src").alias("node")).union(
         raw.select(F.col("dst").alias("node"))
     ).distinct()
-    e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    # lazy: materializes together with the first `_sig` aggregate below —
+    # an eager checkpoint here would spend a separate job on a full pass
+    # over the edge set (plan roots at the checkpointed `raw`, so laziness
+    # cannot recompute upstream)
+    e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(
+        eager=False
+    )
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = (
