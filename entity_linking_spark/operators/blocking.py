@@ -140,7 +140,13 @@ def block_keys(
     prefix_tokens: int = 4,
     hash_keys: bool = False,
 ) -> DataFrame:
-    """Long-format blocking table ``(id, block_key)``, deduplicated.
+    """Long-format blocking table ``(id, block_key)``.
+
+    PRECONDITION: ids in ``pages`` are unique. Rows are then unique by
+    construction (≤1 key per id per scheme/band — see the no-dedup note
+    below); duplicate input ids would emit duplicate (id, block_key) rows
+    that inflate downstream cap/salt block sizes (pair correctness is
+    unaffected — candidate_pairs dedups — but capping recall degrades).
 
     Key namespaces are prefixed (``host:``, ``pfx:``, ``b{i}:``) so keys
     from different schemes never collide.

@@ -28,12 +28,16 @@ def filter_has_label(
     printed drop counts as plan-level metrics with no extra job.
     """
     has = F.array_contains(F.col(candidates_col), F.col(label_col))
+    # null label / null candidates ⇒ `has` is null ⇒ the row is filtered
+    # out by where(has); coalesce to False so such rows count as dropped
+    # and the seen == dropped + kept invariant holds exactly
+    has_t = F.coalesce(has, F.lit(False))
     if observation is not None:
         df = df.observe(
             observation,
             F.count(F.lit(1)).alias("seen"),
-            F.sum(F.when(~has, 1).otherwise(0)).alias("dropped"),
-            F.sum(F.when(has, 1).otherwise(0)).alias("kept"),
+            F.sum(F.when(has_t, 0).otherwise(1)).alias("dropped"),
+            F.sum(F.when(has_t, 1).otherwise(0)).alias("kept"),
         )
     return df.where(has)
 
@@ -47,9 +51,12 @@ def record_drop_metrics(
     import os
 
     rows = [
-        {"stage": stage, "metric": k, "value": int(v)}
-        for k, v in observation.get.items()
+        (stage, k, int(v)) for k, v in observation.get.items()
     ]
-    ckpt.spark.createDataFrame(rows).write.mode("overwrite").parquet(
+    # explicit schema: keeps the _metrics table type-stable even when the
+    # observation map is empty or partially populated
+    ckpt.spark.createDataFrame(
+        rows, "stage string, metric string, value bigint"
+    ).write.mode("overwrite").parquet(
         os.path.join(ckpt.base_dir, "_metrics", f"stage={stage}_drops")
     )

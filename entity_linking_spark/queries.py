@@ -82,18 +82,8 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a test table, widening narrow scans to cluster parallelism.
-
-    The sf0.1 tables are single-row-group parquet files, so they scan as
-    ONE partition regardless of maxPartitionBytes — which serializes the
-    CPU-heavy map work (md5 shingle hashing, Arrow UDFs) onto one core
-    (measured: minhash_signature 6.4s on 1 of 32 cores). A row-count
-    shuffle of a few MB is milliseconds; results are unaffected (every
-    registered query's ordering/sampling is value-deterministic, which
-    the DuckDB oracle already requires). On a real cluster with many
-    files/row-groups the condition is false and this is a no-op — same
-    rationale as plans.pipeline._widen_input.
-    """
+    """Plain parquet read of a test table (use ``_tw`` for CPU-heavy queries
+    that need the scan widened to cluster parallelism)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

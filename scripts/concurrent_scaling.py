@@ -53,8 +53,7 @@ def main() -> None:
     corpus = sys.argv[1] if len(sys.argv) > 1 else "data/bench_corpus_125000"
     pages = os.path.join(corpus, "pages.parquet")
 
-    # A: one local[8] job
-    t0 = time.time()
+    # A: one local[8] job (its time comes from the worker's reported seconds)
     p = _launch(8, pages, "16g")
     out8 = json.loads(p.communicate()[0].strip().splitlines()[-1])
     print("local8:", out8)

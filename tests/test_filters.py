@@ -27,6 +27,28 @@ def test_filter_rows_and_observed_counts(spark):
     assert got["kept"] == 3
 
 
+def test_null_label_rows_count_as_dropped(spark):
+    # null label / null candidates ⇒ predicate is null ⇒ filtered out;
+    # they must land in `dropped` so seen == dropped + kept holds exactly
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2], 1),
+            (2, [1, 2], None),   # null label → dropped
+            (3, None, 1),        # null candidates → dropped
+            (4, [9], 1),         # plain mismatch → dropped
+        ],
+        "row_id long, candidates array<long>, label long",
+    )
+    obs = Observation("nulls")
+    kept = filter_has_label(df, "candidates", "label", observation=obs)
+    assert {r["row_id"] for r in kept.collect()} == {1}
+    got = obs.get
+    assert got["seen"] == 4
+    assert got["dropped"] == 3
+    assert got["kept"] == 1
+    assert got["seen"] == got["dropped"] + got["kept"]
+
+
 def test_counter_rides_same_job(spark):
     # the observation must not launch its own job — one action computes
     # both the filtered rows and the counts (reference prints counts from

@@ -138,9 +138,7 @@ def test_real_decoder_path_raises_on_compressed(spark, media):
     with pytest.raises(Exception) as exc:
         extract_features(media, use_real_decoder=True).collect()
     msg = str(exc.value)
-    assert any(
-        s in msg for s in ("NotImplementedError", "no codec", "wave.Error", "Error")
-    )
+    assert any(s in msg for s in ("NotImplementedError", "no codec", "wave"))
 
 
 def test_frame_sample_plan_metadata_only(spark, media, tmp_path):
