@@ -125,6 +125,68 @@ def remove_stopwords(
     return F.filter(tokens, lambda t: ~t.isin(sw))
 
 
+# --- F9: heuristic POS noun filter -----------------------------------------
+# The reference's wiki2vec context encoder consumes a bag of nouns:
+# tokens whose nltk POS tag starts with 'N'
+# (/root/reference/src/data_transformers.py:143-146, consumed at
+# src/runner.py:403-443). The sandbox has no nltk/tagger model, so this is
+# a DETERMINISTIC closed-class + suffix heuristic (standard rule-tagger
+# design, cf. Brill '92 transformation lists): nouns are the open default
+# class, so a token is a noun unless (a) it is a closed-class function
+# word, or (b) it carries a clearly verbal/adjectival/adverbial suffix and
+# no overriding nominal suffix. Identical rules are embedded in the DuckDB
+# oracle (queries.bag_of_nouns) so the heuristic itself is value-checked.
+
+# Closed-class words a tagger would never tag N* (STOPWORDS plus the
+# remaining common determiners/pronouns/auxiliaries/adverbs/conjunctions).
+FUNCTION_WORDS: list[str] = sorted(set(STOPWORDS) | {
+    "all", "also", "am", "any", "been", "both", "can", "could", "did",
+    "do", "does", "down", "each", "even", "few", "here", "how", "into",
+    "just", "may", "might", "more", "most", "must", "my", "never", "now",
+    "only", "other", "our", "out", "over", "own", "same", "shall",
+    "should", "some", "such", "than", "then", "there", "these", "those",
+    "through", "too", "under", "up", "us", "very", "what", "when",
+    "where", "while", "who", "whom", "why", "would", "yet", "your",
+})
+
+# Nominal suffixes that override the non-noun exclusion below
+# ("statement", "activity", "tourism" stay nouns despite no other signal).
+NOUN_SUFFIX_RE = (
+    r"(tion|sion|ment|ness|ity|ance|ence|ship|hood|dom|ism|ist|age|ure|ery)$"
+)
+# Verbal / adjectival / adverbial suffixes: tokens ending in these (and
+# not in a nominal suffix) are excluded from the bag of nouns.
+NONNOUN_SUFFIX_RE = r"(ly|ing|ed|ous|ive|ful|less|able|ible|ize|ise|est)$"
+
+
+def is_noun(t: Column) -> Column:
+    """Boolean column: heuristic 'POS tag starts with N' for one token."""
+    return (
+        t.rlike("^[a-z]+$")
+        & (F.length(t) >= 2)
+        & ~t.isin(FUNCTION_WORDS)
+        & (t.rlike(NOUN_SUFFIX_RE) | ~t.rlike(NONNOUN_SUFFIX_RE))
+    )
+
+
+def filter_nouns(tokens: Column) -> Column:
+    """F9: keep only heuristic-noun tokens, preserving duplicates and order
+    (the reference returns a *list* of lowercased nouns, not a set). Pure
+    codegen — F.filter over the token array, no shuffle, no UDF."""
+    return F.filter(tokens, is_noun)
+
+
+def sql_is_noun(tok: str) -> str:
+    """The identical noun rule as a DuckDB boolean expression (oracle side)."""
+    fw = ", ".join(f"'{w}'" for w in FUNCTION_WORDS)
+    return (
+        f"(regexp_matches({tok}, '^[a-z]+$') AND length({tok}) >= 2"
+        f" AND {tok} NOT IN ({fw})"
+        f" AND (regexp_matches({tok}, '{NOUN_SUFFIX_RE}')"
+        f"      OR NOT regexp_matches({tok}, '{NONNOUN_SUFFIX_RE}')))"
+    )
+
+
 def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
     n = F.size(tokens)
     return F.when(n == 0, F.lit(0.0)).otherwise(

@@ -1726,6 +1726,40 @@ def stemmed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bag_of_nouns",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    )
+    SELECT doc_id, token AS noun, count(*) AS tf
+    FROM tok WHERE {X.sql_is_noun("token")}
+    GROUP BY doc_id, noun
+    """,
+)
+def bag_of_nouns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: heuristic POS noun filter → per-doc bag of nouns (long table
+    with multiplicity, the scalable form of the reference's list).
+
+    Reference: ``get_bag_of_nouns`` — lowercase tokens whose nltk POS tag
+    starts with 'N' (/root/reference/src/data_transformers.py:143-146),
+    consumed by the wiki2vec context encoder (src/runner.py:403-443). No
+    tagger model exists in the sandbox, so both engines run the identical
+    deterministic closed-class + suffix rule (functions.text.is_noun /
+    sql_is_noun) — the heuristic itself is value-checked by the oracle.
+    Pure codegen: array filter + explode + one shuffle-keyed groupBy.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(X.filter_nouns(X.words(F.col("text")))).alias("noun"),
+        )
+        .groupBy("doc_id", "noun")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+@register(
     "idf_table",
     f"""
     WITH tok AS (

@@ -94,3 +94,23 @@ def test_record_drop_metrics_writes_metric_rows(spark, tmp_path):
     )
     vals = {r["metric"]: r["value"] for r in out.collect()}
     assert vals == {"seen": 2, "dropped": 1, "kept": 1}
+
+
+def test_bag_of_nouns_heuristic(spark):
+    # F9: deterministic closed-class + suffix rule — nouns kept as an
+    # ordered bag (duplicates preserved), function words / verbal-suffix
+    # tokens / numerics dropped, nominal suffixes override the exclusion
+    from entity_linking_spark.functions.text import filter_nouns, words
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("The linker was linking statements quickly; 3 cats saw cats",)],
+        "text string",
+    )
+    out = df.select(filter_nouns(words(F.col("text"))).alias("nouns")).first()
+    # 'the' 'was' closed-class; 'linking' -ing; 'quickly' -ly; '3' numeric;
+    # 'statements' kept via -ment(+s)… actually 'statements' ends 'ments':
+    # the suffix regexes anchor at $, plural keeps 'ts' tail → still noun
+    # by default (no non-noun suffix matches). 'saw' default-noun is a
+    # known heuristic cost, same class of error as a unigram tagger.
+    assert out["nouns"] == ["linker", "statements", "cats", "saw", "cats"]
