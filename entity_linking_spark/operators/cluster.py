@@ -63,19 +63,39 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """→ (node, component) where component = min node id in the component.
 
     Convergence: the star-contraction fixpoint — iterate until the edge set
-    is unchanged (checked via count + sum-of-hashes, one aggregate per
-    round). Every round localCheckpoints to keep the plan O(1) deep.
+    is unchanged (checked via count + sum-of-hashes). TWO combined
+    large∘small rounds are fused per materialization and fixpoint probe:
+    this halves both the lineage-truncation barriers and the driver
+    round-trips (the flagship's measured sf0.1 floor was ~42%
+    driver-bound), at the cost of at most one redundant round after the
+    true fixpoint — cheap, because star rounds are idempotent on a
+    converged star forest.
+
+    ``checkpoint_dir``: by default rounds truncate lineage with
+    ``localCheckpoint`` (executor-local blocks — fastest, but a lost
+    executor on a preemptible cluster kills the computation). Pass a
+    reliable-storage path (HDFS/S3/DBFS) to use ``checkpoint`` with
+    ``spark.sparkContext.setCheckpointDir`` instead: each round's edge set
+    is persisted to the shared filesystem and survives executor loss.
     """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     # materialize the incoming edge plan ONCE — deriving nodes and the
     # working edge set from the raw lazy plan would execute the whole
     # upstream (blocking + scoring) twice
-    raw = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    raw = _ckpt(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), True)
     # node set comes from the raw edges: a node appearing only in a
     # self-loop is still a (singleton) component. Lazy on purpose — it is
     # consumed exactly once (the final join), so an eager checkpoint here
@@ -89,9 +109,7 @@ def connected_components(
     # an eager checkpoint here would spend a separate job on a full pass
     # over the edge set (plan roots at the checkpointed `raw`, so laziness
     # cannot recompute upstream)
-    e = raw.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(
-        eager=False
-    )
+    e = _ckpt(raw.where(F.col("src") != F.col("dst")).distinct(), False)
 
     def _sig(df: DataFrame) -> tuple[int, int]:
         row = (
@@ -112,10 +130,11 @@ def connected_components(
     prev = _sig(e)
     converged = False
     for _ in range(max_iter):
-        # one materialization per round: the combined large∘small round is
-        # checkpointed once (truncates lineage), then a single aggregate
-        # both drives the plan and checks the fixpoint
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        # one materialization per TWO combined rounds: large∘small∘
+        # large∘small is checkpointed once (truncates lineage), then a
+        # single aggregate both drives the fused plan and checks the
+        # fixpoint — half the driver collects of the per-round form
+        e = _ckpt(_small_star(_large_star(_small_star(_large_star(e)))), False)
         cur = _sig(e)
         if cur == prev:
             converged = True
@@ -124,7 +143,8 @@ def connected_components(
     if not converged:
         warnings.warn(
             f"connected_components: edge set did not reach a fixpoint within "
-            f"max_iter={max_iter} rounds; component labels may be unconverged "
+            f"max_iter={max_iter} fused double-rounds ({2 * max_iter} star "
+            f"rounds); component labels may be unconverged "
             f"(last signature {prev}). Increase max_iter.",
             RuntimeWarning,
             stacklevel=2,

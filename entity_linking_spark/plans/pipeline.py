@@ -83,6 +83,11 @@ class LinkageConfig:
     # plan's sort/aggregate path wins on this data shape. Kept as an
     # option for re-evaluation on wider corpora.
     hash_block_keys: bool = False
+    # reliable-storage checkpoint dir for the CC rounds (HDFS/S3/DBFS).
+    # Default None = executor-local localCheckpoint (fastest); set on
+    # preemptible clusters where a lost executor must not kill the
+    # fixpoint iteration (see operators.cluster.connected_components).
+    cc_checkpoint_dir: str | None = None
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     # learned scorer — linear (TrainedScorer) or tree-ensemble (GBTScorer);
     # takes precedence over fixed weights; its own probability threshold
@@ -139,7 +144,7 @@ def link_pages(
     edges = scored.where(F.col("score") >= cfg.edge_threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, checkpoint_dir=cfg.cc_checkpoint_dir)
     ids = pages.select(F.col(id_col).alias("id"))
     return ids.join(comp, ids.id == comp.node, "left").select(
         "id", F.coalesce("component", F.col("id")).alias("cluster_id")

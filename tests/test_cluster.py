@@ -93,3 +93,24 @@ def test_unconverged_warns(spark):
         warnings.simplefilter("always")
         connected_components(edges, max_iter=1).collect()
     assert any("fixpoint" in str(w.message) for w in rec)
+
+
+def test_reliable_checkpoint_dir(spark, tmp_path):
+    # checkpoint_dir switches localCheckpoint → reliable checkpoint: the
+    # result is identical and checkpoint files land under the given dir
+    import os
+
+    edges = [(i, i + 1) for i in range(15)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    exp = {i: 0 for i in range(16)} | {100: 100, 101: 100}
+    assert got == exp
+    # reliable checkpoints were actually written to the shared dir
+    found = [
+        f for root, _, files in os.walk(ckdir) for f in files
+    ]
+    assert found, "no checkpoint files written to checkpoint_dir"
