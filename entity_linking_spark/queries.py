@@ -103,7 +103,9 @@ def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     n_par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n_par:
+    # file count, not rdd.getNumPartitions() — the RDD conversion costs
+    # ~1.9s of cold driver time (see plans.pipeline._widen_input)
+    if len(df.inputFiles()) < n_par:
         return df.repartition(n_par)
     return df
 
