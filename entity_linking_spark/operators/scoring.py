@@ -50,6 +50,7 @@ def doc_payload(
     id_col: str = "url",
     text_col: str = "text",
     topk: int = 0,
+    hash_tokens: bool = True,
 ) -> DataFrame:
     """Per-document scoring payload: head, top-k token set, TF-IDF map.
 
@@ -74,6 +75,19 @@ def doc_payload(
     ``LinkageConfig.payload_topk`` in the scale pipeline, whose
     threshold/weights are validated under the capped features
     (tests/test_e2e_f1.py: F1 = 1.0 with payload_topk=64).
+
+    ``hash_tokens`` (default True) keys the tfidf map by
+    ``xxhash64(token)`` (bigint) instead of the token string. Every
+    consumer of the map is key-identity algebra — cosine/dot match keys,
+    Jaccard intersects key sets, norms read values — so feature values
+    are unchanged (entry insertion order is fixed before hashing, so
+    even float summation order is identical); only the shuffled bytes
+    shrink (~8 B fixed vs string+offset per key, measured the biggest
+    payload byte cut on a bandwidth-bound host) and key comparisons
+    become long-vs-long. A cross-token collision inside one pair's
+    64-entry maps is ~2^-52 — it would perturb one cosine, not
+    correctness of the pipeline. Set False to keep inspectable
+    token-string keys.
     """
     toks = pages.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("tokens")
@@ -116,6 +130,10 @@ def doc_payload(
         asc=False,  # weight desc, token desc on ties — deterministic
     )
     top = F.slice(entries, 1, topk) if topk else entries
+    key = (
+        (lambda s: F.xxhash64(s["token"])) if hash_tokens
+        else (lambda s: s["token"])
+    )
     tfidf = (
         tf.join(F.broadcast(idf), "token")
         .groupBy("id")
@@ -123,7 +141,7 @@ def doc_payload(
         .select(
             "id",
             F.map_from_entries(
-                F.transform("_top", lambda s: F.struct(s["token"], s["w"]))
+                F.transform("_top", lambda s: F.struct(key(s), s["w"]))
             ).alias("tfidf"),
         )
     )
@@ -132,12 +150,13 @@ def doc_payload(
     # column (the map's keys ARE the token set; duplicating them as an
     # array doubled the payload's string bytes, which are shuffled onto
     # both sides of every pair — round-3 scaling fix).
+    key_t = "bigint" if hash_tokens else "string"
     return slim.join(tfidf, "id", "left").select(
         "id",
         "head",
         "token_cnt",
         F.coalesce(
-            "tfidf", F.create_map().cast("map<string,double>")
+            "tfidf", F.create_map().cast(f"map<{key_t},double>")
         ).alias("tfidf"),
     )
 
@@ -383,3 +402,61 @@ def score_pairs(
         return model.attach_score(feats)
     score = model.column() if model is not None else linear_score(weights)
     return feats.withColumn("score", score)
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    group_col: str = "qid",
+    label_col: str = "label",
+    score_col: str = "score",
+    tiebreak_col: str | None = None,
+) -> dict[str, float]:
+    """Per-query-group ranking quality: precision@1 and MRR.
+
+    The reference trains its XGBoost ranker with ``rank:pairwise`` over
+    qid mention groups (``/root/reference/src/train_xgboost.py:26-34``)
+    and evaluates by per-mention argmax accuracy
+    (``src/inference.py:26``, ``src/tester.py:113-118``) — i.e. the qid
+    grouping is *semantically* a ranking unit, not just a file-format
+    field. This is the Spark-native form of that eval: rank candidates
+    within each group by score, then
+
+    - ``p_at_1``: fraction of groups whose top-ranked row is a positive;
+    - ``mrr``: mean reciprocal rank of the first positive (groups with
+      no positive contribute 0, matching "argmax missed").
+
+    Distributed shape: one window rank keyed on the group + one
+    aggregate; only the three scalars reach the driver. Ties in
+    ``score_col`` break on ``tiebreak_col`` when given (pass a stable id
+    for data-deterministic results), otherwise ties are partition-order
+    dependent.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(score_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = scored.select(
+        F.col(group_col).alias("_g"),
+        (F.col(label_col).cast("double") > 0).alias("_pos"),
+        F.row_number().over(w).alias("_rk"),
+    )
+    per_group = ranked.groupBy("_g").agg(
+        F.max(F.when((F.col("_rk") == 1) & F.col("_pos"), 1).otherwise(0)).alias(
+            "_hit1"
+        ),
+        F.min(F.when(F.col("_pos"), F.col("_rk"))).alias("_first_pos"),
+    )
+    row = per_group.agg(
+        F.count("*").alias("n_groups"),
+        F.avg("_hit1").alias("p_at_1"),
+        F.avg(
+            F.coalesce(F.lit(1.0) / F.col("_first_pos"), F.lit(0.0))
+        ).alias("mrr"),
+    ).collect()[0]
+    return {
+        "n_groups": int(row["n_groups"]),
+        "p_at_1": float(row["p_at_1"] or 0.0),
+        "mrr": float(row["mrr"] or 0.0),
+    }

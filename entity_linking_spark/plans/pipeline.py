@@ -124,10 +124,20 @@ def link_pages(
     # shuffled and cached for nothing
     keep = [c for c in {id_col, text_col, url_col} if c]
     pages = _widen_input(pages.select(*keep)).persist()
+    # int64 working ids (round-4 scaling fix): the id rides EVERY hot
+    # shuffle — the blocking long table, both sides of the pair
+    # self-join, both payload joins, and every CC round — and input ids
+    # are typically ~40-byte URLs. xxhash64 folds them to 8 bytes for
+    # the whole pipeline interior; original ids (and the documented
+    # "cluster_id = min member id" representative) are restored by two
+    # tiny end-stage joins over one row per page. Id collisions are
+    # ~n^2/2^65 (≈3 expected at 10^10 docs — switch _nid to a 128-bit
+    # pair of hashes beyond that; the structure is unchanged).
+    work = pages.withColumn("_nid", F.xxhash64(F.col(id_col)))
     blocks = salt_mega_blocks(
         block_keys(
-            pages,
-            id_col=id_col,
+            work,
+            id_col="_nid",
             text_col=text_col,
             url_col=url_col,
             num_hashes=cfg.num_hashes,
@@ -144,17 +154,22 @@ def link_pages(
     blocks = cap_block_size(blocks, max_block=cfg.max_block).persist()
     pairs = candidate_pairs(blocks)
     payload = doc_payload(
-        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
+        work, id_col="_nid", text_col=text_col, topk=cfg.payload_topk
     ).persist()
     scored = score_pairs(pairs, payload, weights=cfg.weights, model=cfg.model)
     edges = scored.where(F.col("score") >= cfg.edge_threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(edges, checkpoint_dir=cfg.cc_checkpoint_dir)
-    ids = pages.select(F.col(id_col).alias("id"))
-    return ids.join(comp, ids.id == comp.node, "left").select(
-        "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+    # map hashed components back to original ids and restore the
+    # documented representative (cluster_id = min member id): two
+    # end-stage shuffles over (id, component) — one narrow row per page
+    ids = pages.select(F.col(id_col).alias("id"), F.xxhash64(F.col(id_col)).alias("_nid"))
+    labeled = ids.join(comp, ids._nid == comp.node, "left").select(
+        "id", F.coalesce("component", F.col("_nid")).alias("_comp")
     )
+    reps = labeled.groupBy("_comp").agg(F.min("id").alias("cluster_id"))
+    return labeled.join(reps, "_comp").select("id", "cluster_id")
 
 
 def score_candidate_pairs(

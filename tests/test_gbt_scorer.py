@@ -81,3 +81,75 @@ def test_gbt_inference_is_jvm_side(corpus):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "score" in scored.columns
+
+
+def test_ranking_metrics_hand_golden(spark):
+    # 3 qid groups with known outcomes:
+    #   g1: positive ranked 1st  -> hit, rr = 1
+    #   g2: positive ranked 2nd  -> miss, rr = 1/2
+    #   g3: no positive          -> miss, rr = 0
+    from entity_linking_spark.operators.scoring import ranking_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.9, 1, "a"), (1, 0.5, 0, "b"),
+            (2, 0.9, 0, "a"), (2, 0.5, 1, "b"), (2, 0.1, 0, "c"),
+            (3, 0.9, 0, "a"), (3, 0.5, 0, "b"),
+        ],
+        "qid long, score double, label long, cand string",
+    )
+    m = ranking_metrics(df, tiebreak_col="cand")
+    assert m["n_groups"] == 3
+    assert abs(m["p_at_1"] - 1 / 3) < 1e-9
+    assert abs(m["mrr"] - (1 + 0.5 + 0) / 3) < 1e-9
+
+
+def test_learned_scorers_rank_qid_groups(corpus, spark, tmp_path_factory):
+    # the qid field is semantically exercised: per-mention-group
+    # precision@1 / MRR for BOTH learned scorers, trained through the
+    # libsvm qid round-trip, must beat the fixed-weight baseline
+    # (reference: rank:pairwise over qid groups, train_xgboost.py:26-34;
+    # eval is per-mention argmax, inference.py:26)
+    from entity_linking_spark.operators.scoring import (
+        linear_score,
+        ranking_metrics,
+        train_gbt_scorer,
+        train_pair_scorer,
+    )
+
+    pages, labeled = corpus
+    feats = _labeled_features(pages, labeled).withColumn(
+        "qid", F.xxhash64("id_a")
+    ).persist()
+    path = str(tmp_path_factory.mktemp("ltr_rank") / "train_libsvm")
+    write_libsvm_qid(
+        feats, path, label_col="label", qid_col="qid", feature_cols=FEATURES
+    )
+    train = read_libsvm_qid(spark, path).select(
+        "label", "qid",
+        *[F.col("features")[i].alias(c) for i, c in enumerate(FEATURES)],
+    )
+    # only groups that contain a positive are rankable mention groups
+    rankable = feats.join(
+        feats.where(F.col("label") == 1).select("qid").distinct(), "qid"
+    )
+
+    base = ranking_metrics(
+        rankable.withColumn("score", linear_score()), tiebreak_col="id_b"
+    )
+
+    gbt = train_gbt_scorer(train, feature_cols=FEATURES)
+    m_gbt = ranking_metrics(
+        gbt.attach_score(rankable.drop("score")), tiebreak_col="id_b"
+    )
+    logit = train_pair_scorer(train, feature_cols=FEATURES)
+    m_log = ranking_metrics(
+        rankable.withColumn("score", logit.column()), tiebreak_col="id_b"
+    )
+
+    for m in (m_gbt, m_log):
+        assert m["n_groups"] == base["n_groups"] > 0
+        assert m["p_at_1"] >= base["p_at_1"], (m, base)
+        assert m["p_at_1"] >= 0.95, (m, base)
+        assert m["mrr"] >= m["p_at_1"] - 1e-9
+    feats.unpersist()
