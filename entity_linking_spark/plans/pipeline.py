@@ -133,7 +133,17 @@ def link_pages(
     # tiny end-stage joins over one row per page. Id collisions are
     # ~n^2/2^65 (≈3 expected at 10^10 docs — switch _nid to a 128-bit
     # pair of hashes beyond that; the structure is unchanged).
-    work = pages.withColumn("_nid", F.xxhash64(F.col(id_col)))
+    # Already-integral ids ARE 8 bytes: use them directly (order-
+    # preserving, collision-free) and skip both the hash and the
+    # end-stage representative restore (min _nid == min id).
+    from pyspark.sql.types import IntegralType
+
+    ids_integral = isinstance(pages.schema[id_col].dataType, IntegralType)
+    nid = (
+        F.col(id_col).cast("bigint") if ids_integral
+        else F.xxhash64(F.col(id_col))
+    )
+    work = pages.withColumn("_nid", nid)
     blocks = salt_mega_blocks(
         block_keys(
             work,
@@ -161,10 +171,17 @@ def link_pages(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     comp = connected_components(edges, checkpoint_dir=cfg.cc_checkpoint_dir)
+    ids = pages.select(F.col(id_col).alias("id"), nid.alias("_nid"))
+    if ids_integral:
+        # _nid == id: component (min _nid) IS the min member id already
+        id_t = pages.schema[id_col].dataType.simpleString()
+        return ids.join(comp, ids._nid == comp.node, "left").select(
+            "id",
+            F.coalesce("component", F.col("_nid")).cast(id_t).alias("cluster_id"),
+        )
     # map hashed components back to original ids and restore the
     # documented representative (cluster_id = min member id): two
     # end-stage shuffles over (id, component) — one narrow row per page
-    ids = pages.select(F.col(id_col).alias("id"), F.xxhash64(F.col(id_col)).alias("_nid"))
     labeled = ids.join(comp, ids._nid == comp.node, "left").select(
         "id", F.coalesce("component", F.col("_nid")).alias("_comp")
     )
