@@ -136,6 +136,77 @@ class StageCheckpointer:
         self._record_metrics(name, out, time.time() - t0, digest=digest)
         return out
 
+    def bucketed_stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        bucket_by: str | list[str],
+        num_buckets: int | None = None,
+        sort_by: str | list[str] | None = None,
+        digest: str | None = None,
+    ) -> DataFrame:
+        """Materialize a stage as a BUCKETED, sorted table.
+
+        The scan of a bucketed table reports ``hashpartitioning`` on the
+        bucket columns, so a downstream equi-join on those columns needs
+        NO exchange on this side — the measured deployment lever from the
+        bucketed A/B (``scripts/bucketed_payload_ab.py``: scheduled
+        hash-exchanges 2→1 on the scored stage; at 100 TB the payload
+        join ships TBs per removed exchange). Files live under the same
+        ``stage_<name>`` path as plain stages (``saveAsTable`` with an
+        explicit LOCATION); the bucket spec is recorded in the manifest
+        so a NEW session resuming this run_dir re-registers the external
+        table and still gets the exchange-free scan.
+        """
+        tbl = (
+            "elspark_ckpt_"
+            + hashlib.sha256(self.base_dir.encode()).hexdigest()[:10]
+            + f"_{name}"
+        )
+        path = self._stage_path(name)
+        bb = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        sb = (
+            [sort_by] if isinstance(sort_by, str)
+            else (list(sort_by) if sort_by else bb)
+        )
+        if self.is_complete(name, digest=digest):
+            if not self.spark.catalog.tableExists(tbl):
+                e = self.manifest[name]
+                sorted_clause = f" SORTED BY ({', '.join(e['sort_by'])})"
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({e['schema_ddl']}) USING PARQUET "
+                    f"CLUSTERED BY ({', '.join(e['bucket_by'])})"
+                    f"{sorted_clause} INTO {e['num_buckets']} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            return self.spark.table(tbl)
+        df = build()
+        nb = num_buckets or self.spark.sparkContext.defaultParallelism
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        t0 = time.time()
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(nb, *bb)
+            .sortBy(*sb)
+            .saveAsTable(tbl)
+        )
+        out = self.spark.table(tbl)
+        self._record_metrics(name, out, time.time() - t0, digest=digest)
+        self.manifest[name].update(
+            {
+                "schema_ddl": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in out.schema.fields
+                ),
+                "num_buckets": nb,
+                "bucket_by": bb,
+                "sort_by": sb,
+            }
+        )
+        self._save_manifest()
+        return out
+
     # -- lineage + counters -----------------------------------------------
     def _record_metrics(
         self, name: str, df: DataFrame, secs: float, digest: str | None = None
@@ -197,11 +268,19 @@ def run_linkage_checkpointed(
     id_col: str = "url",
     text_col: str = "text",
     url_col: str | None = "url",
+    bucketed: bool = True,
 ) -> DataFrame:
     """The flagship pipeline with every stage checkpointed + resumable.
 
     Killing the job after any stage and re-running reuses all completed
     stages (tests/test_resume.py proves byte-identical output either way).
+
+    ``bucketed`` (default True): write the ``pairs`` stage bucketed on
+    ``id_a`` and the ``payload`` stage bucketed on ``id`` — the layout
+    the bucketed A/B validated (scheduled hash-exchanges 2→1 in the
+    scored stage; the removed exchange ships the full payload at scale).
+    Set False for plain-parquet stages (portable to engines that cannot
+    read Spark bucket metadata).
     """
     from entity_linking_spark.operators.blocking import (
         block_keys,
@@ -225,6 +304,8 @@ def run_linkage_checkpointed(
             "text_col": text_col,
             "url_col": url_col,
             "pipeline_version": 3,
+            # layout change invalidates stages written the other way
+            "bucketed": bucketed,
         }
     )
 
@@ -251,17 +332,20 @@ def run_linkage_checkpointed(
         repartition_by="block_key",
         digest=dig,
     )
-    pairs = ckpt.stage("pairs", lambda: candidate_pairs(blocks), digest=dig)
-    payload = ckpt.stage(
-        "payload",
-        lambda: doc_payload(
-            pages,
-            id_col=id_col,
-            text_col=text_col,
-            topk=cfg.payload_topk,
-        ),
-        digest=dig,
+    build_pairs = lambda: candidate_pairs(blocks)  # noqa: E731
+    build_payload = lambda: doc_payload(  # noqa: E731
+        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
     )
+    if bucketed:
+        pairs = ckpt.bucketed_stage(
+            "pairs", build_pairs, bucket_by="id_a", digest=dig
+        )
+        payload = ckpt.bucketed_stage(
+            "payload", build_payload, bucket_by="id", digest=dig
+        )
+    else:
+        pairs = ckpt.stage("pairs", build_pairs, digest=dig)
+        payload = ckpt.stage("payload", build_payload, digest=dig)
     scored = ckpt.stage(
         "scored",
         lambda: score_pairs(
