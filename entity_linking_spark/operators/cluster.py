@@ -64,17 +64,23 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    fuse_rounds: int = 2,
 ) -> DataFrame:
     """→ (node, component) where component = min node id in the component.
 
     Convergence: the star-contraction fixpoint — iterate until the edge set
-    is unchanged (checked via count + sum-of-hashes). TWO combined
-    large∘small rounds are fused per materialization and fixpoint probe:
-    this halves both the lineage-truncation barriers and the driver
-    round-trips (the flagship's measured sf0.1 floor was ~42%
-    driver-bound), at the cost of at most one redundant round after the
-    true fixpoint — cheap, because star rounds are idempotent on a
-    converged star forest.
+    is unchanged (checked via count + sum-of-hashes). ``fuse_rounds``
+    combined large∘small rounds run per materialization and fixpoint
+    probe (default 2): this divides both the lineage-truncation barriers
+    and the driver round-trips by the fuse factor (the flagship's
+    measured sf0.1 floor was ~42% driver-bound), at the cost of at most
+    ``fuse_rounds − 1`` redundant rounds after the true fixpoint — cheap,
+    because star rounds are idempotent on a converged star forest.
+    Measured guidance: fusion clearly wins on multi-core executors
+    (same-hour cold flagship 43.0s → 28.5s at local[32]); on 1-core /
+    small-heap executors the wider in-flight job showed no benefit in
+    noisy measurements — set ``fuse_rounds=1`` there to recover the
+    round-3 per-round behavior.
 
     ``checkpoint_dir``: by default rounds truncate lineage with
     ``localCheckpoint`` (executor-local blocks — fastest, but a lost
@@ -130,16 +136,17 @@ def connected_components(
     prev = _sig(e)
     converged = False
     for _ in range(max_iter):
-        # TWO combined rounds per fixpoint probe, with a LAZY checkpoint
-        # between them: each star substitutes its input subtree twice, so
-        # chaining four stars under one plan grows the logical tree ~4^4
-        # leaf copies (measured ~2.4s of Catalyst analysis per round);
-        # the intermediate lazy checkpoint keeps every analyzed plan two
-        # stars deep while still materializing both rounds in the ONE job
-        # that the single fixpoint aggregate drives — half the driver
-        # collects of the per-round form
-        e = _ckpt(_small_star(_large_star(e)), False)
-        e = _ckpt(_small_star(_large_star(e)), False)
+        # fuse_rounds combined rounds per fixpoint probe, with a LAZY
+        # checkpoint between them: each star substitutes its input
+        # subtree twice, so chaining stars under one plan grows the
+        # logical tree exponentially (4 chained stars ≈ 4^4 leaf copies,
+        # measured ~2.4s of Catalyst analysis per round); the
+        # intermediate lazy checkpoints keep every analyzed plan two
+        # stars deep while still materializing all fused rounds in the
+        # ONE job the single fixpoint aggregate drives — 1/fuse_rounds
+        # the driver collects of the per-round form
+        for _f in range(max(1, fuse_rounds)):
+            e = _ckpt(_small_star(_large_star(e)), False)
         cur = _sig(e)
         if cur == prev:
             converged = True
@@ -148,7 +155,8 @@ def connected_components(
     if not converged:
         warnings.warn(
             f"connected_components: edge set did not reach a fixpoint within "
-            f"max_iter={max_iter} fused double-rounds ({2 * max_iter} star "
+            f"max_iter={max_iter} fused probes "
+            f"({max(1, fuse_rounds) * max_iter} star "
             f"rounds); component labels may be unconverged "
             f"(last signature {prev}). Increase max_iter.",
             RuntimeWarning,

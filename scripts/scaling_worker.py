@@ -50,8 +50,11 @@ def main() -> None:
     n_docs = pages.count()  # also warms the JVM + parquet reader
     spark.range(100000).select(F.sum("id")).collect()
 
+    # SPARK_GRAFT_CC_FUSE: override LinkageConfig.cc_fuse_rounds for
+    # fusion A/Bs on 1-core-executor legs (see operators/cluster.py)
+    fuse = int(os.environ.get("SPARK_GRAFT_CC_FUSE", "2"))
     t0 = time.time()
-    link_pages(pages, config=LinkageConfig()).count()
+    link_pages(pages, config=LinkageConfig(cc_fuse_rounds=fuse)).count()
     secs = time.time() - t0
     print(
         json.dumps(
