@@ -199,8 +199,16 @@ def test_bucketed_stage_layout_and_equivalence(spark, tmp_path):
     assert built["n"] == 1
     assert sorted(r["id_a"] for r in out2.collect()) == list(range(100))
     # simulate a fresh session: drop the catalog entry, keep files+manifest
-    tbl = [t.name for t in spark.catalog.listTables() if t.name.endswith("_pairs")]
-    assert len(tbl) == 1
+    # (derive the exact table name — other tests' bucketed runs register
+    # their own *_pairs tables in the shared session catalog)
+    import hashlib
+
+    tbl = [
+        "elspark_ckpt_"
+        + hashlib.sha256(str(tmp_path / "brun").encode()).hexdigest()[:10]
+        + "_pairs"
+    ]
+    assert spark.catalog.tableExists(tbl[0])
     spark.sql(f"DROP TABLE {tbl[0]}")
     ckpt2 = StageCheckpointer(spark, str(tmp_path / "brun"))
     out3 = ckpt2.bucketed_stage("pairs", build, bucket_by="id_a", num_buckets=4)
