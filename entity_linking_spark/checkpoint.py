@@ -192,9 +192,17 @@ class StageCheckpointer:
             .saveAsTable(tbl)
         )
         out = self.spark.table(tbl)
-        self._record_metrics(name, out, time.time() - t0, digest=digest)
-        self.manifest[name].update(
-            {
+        # bucket spec + complete flag land in ONE manifest save (round-4
+        # advice): a crash between two saves would otherwise leave
+        # complete=true with no bucket spec, and a fresh-session resume
+        # (catalog table absent) would KeyError on e['sort_by'] with no
+        # way to self-heal
+        self._record_metrics(
+            name,
+            out,
+            time.time() - t0,
+            digest=digest,
+            extra={
                 "schema_ddl": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in out.schema.fields
@@ -202,16 +210,24 @@ class StageCheckpointer:
                 "num_buckets": nb,
                 "bucket_by": bb,
                 "sort_by": sb,
-            }
+            },
         )
-        self._save_manifest()
         return out
 
     # -- lineage + counters -----------------------------------------------
     def _record_metrics(
-        self, name: str, df: DataFrame, secs: float, digest: str | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        secs: float,
+        digest: str | None = None,
+        extra: dict | None = None,
     ) -> None:
         """Per-partition row counters → ``_metrics/stage=<name>`` + manifest.
+
+        ``extra`` fields (e.g. a bucketed stage's bucket spec) are merged
+        into the manifest entry BEFORE the save, so stage completeness and
+        everything a resume needs are recorded atomically.
 
         Overwriting a per-stage path (instead of appending to a shared
         table) makes retries idempotent: a crash between the stage write and
@@ -248,6 +264,7 @@ class StageCheckpointer:
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "schema": df.schema.simpleString(),
             "digest": digest,
+            **(extra or {}),
         }
         self._save_manifest()
 
@@ -269,6 +286,7 @@ def run_linkage_checkpointed(
     text_col: str = "text",
     url_col: str | None = "url",
     bucketed: bool = True,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship pipeline with every stage checkpointed + resumable.
 
@@ -281,6 +299,14 @@ def run_linkage_checkpointed(
     scored stage; the removed exchange ships the full payload at scale).
     Set False for plain-parquet stages (portable to engines that cannot
     read Spark bucket metadata).
+
+    Config knobs that change a persisted stage's SCHEMA are honored and
+    digest-covered here (round-4 advice): ``cfg.hash_tokens`` (payload
+    tfidf map<bigint,…> vs map<string,…>), ``cfg.prior_features`` (pairs
+    carry n_shared), ``cfg.emb_dim`` + ``embeddings`` (payload carries a
+    pooled ``emb`` vector). The embeddings TABLE itself is not digested —
+    keep it stable for the lifetime of a run_dir (or change run_dir when
+    it changes).
     """
     from entity_linking_spark.operators.blocking import (
         block_keys,
@@ -332,9 +358,17 @@ def run_linkage_checkpointed(
         repartition_by="block_key",
         digest=dig,
     )
-    build_pairs = lambda: candidate_pairs(blocks)  # noqa: E731
+    build_pairs = lambda: candidate_pairs(  # noqa: E731
+        blocks, with_count=cfg.prior_features
+    )
     build_payload = lambda: doc_payload(  # noqa: E731
-        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
+        pages,
+        id_col=id_col,
+        text_col=text_col,
+        topk=cfg.payload_topk,
+        hash_tokens=cfg.hash_tokens,
+        embeddings=embeddings,
+        emb_dim=cfg.emb_dim if embeddings is not None else 0,
     )
     if bucketed:
         pairs = ckpt.bucketed_stage(

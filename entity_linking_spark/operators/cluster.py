@@ -88,15 +88,63 @@ def connected_components(
     reliable-storage path (HDFS/S3/DBFS) to use ``checkpoint`` with
     ``spark.sparkContext.setCheckpointDir`` instead: each round's edge set
     is persisted to the shared filesystem and survives executor loss.
+    Superseded round checkpoints are deleted as soon as the next probe's
+    edge set is on disk (shared storage holds ~2 edge-set copies, not
+    O(rounds)), and a caller-set checkpoint dir is restored on exit.
     """
     spark = edges.sparkSession
+    prior_ckpt_dir = None
     if checkpoint_dir is not None:
+        # don't clobber a caller-set checkpoint dir for the rest of the
+        # session (setCheckpointDir mutates global SparkContext state —
+        # round-4 advice): remember it and restore on the way out
+        try:
+            opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+            prior_ckpt_dir = opt.get() if opt.isDefined() else None
+        except Exception:  # pragma: no cover - py4j surface drift
+            prior_ckpt_dir = None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _ckpt(df: DataFrame, eager: bool) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=eager)
         return df.localCheckpoint(eager=eager)
+
+    def _ckpt_file(df: DataFrame) -> str | None:
+        """Reliable-checkpoint path of a materialized checkpointed frame."""
+        try:
+            opt = (
+                df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            )
+            return opt.get() if opt.isDefined() else None
+        except Exception:  # pragma: no cover - py4j surface drift
+            return None
+
+    def _delete_superseded(dfs: list[DataFrame]) -> None:
+        """Best-effort delete of no-longer-referenced round checkpoints.
+
+        Without this a long run accumulates O(rounds) full copies of the
+        edge set in shared storage (spark.cleaner.referenceTracking.
+        cleanCheckpoints defaults to false and relies on driver GC even
+        when enabled — round-4 advice). Only frames whose consumers have
+        already materialized are passed in; ``raw`` and the final edge
+        set are never superseded (the caller's lazy result reads them).
+        """
+        if checkpoint_dir is None:
+            return
+        for df in dfs:
+            path = _ckpt_file(df)
+            if not path:
+                continue
+            try:
+                jvm = spark.sparkContext._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(path)
+                fs = hpath.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
+                )
+                fs.delete(hpath, True)
+            except Exception:  # pragma: no cover - best effort
+                pass
 
     # materialize the incoming edge plan ONCE — deriving nodes and the
     # working edge set from the raw lazy plan would execute the whole
@@ -134,6 +182,10 @@ def connected_components(
         return int(row["n"]), int(row["s"])
 
     prev = _sig(e)
+    # frames whose checkpoints become garbage once the NEXT probe's final
+    # edge set has materialized (the fused loop appends each round's
+    # input, so the initial dedup enters the list at probe 1)
+    superseded: list[DataFrame] = []
     converged = False
     for _ in range(max_iter):
         # fuse_rounds combined rounds per fixpoint probe, with a LAZY
@@ -146,12 +198,24 @@ def connected_components(
         # ONE job the single fixpoint aggregate drives — 1/fuse_rounds
         # the driver collects of the per-round form
         for _f in range(max(1, fuse_rounds)):
+            superseded.append(e)
             e = _ckpt(_small_star(_large_star(e)), False)
         cur = _sig(e)
+        # this probe's final edge set is on disk now; everything older
+        # (previous probes + this probe's fused intermediates) is garbage
+        _delete_superseded(superseded)
+        superseded = []
         if cur == prev:
             converged = True
             break
         prev = cur
+    if checkpoint_dir is not None:
+        # all checkpoint WRITES are done (the lazy result only READS the
+        # final edge set + raw); hand the global setting back
+        try:
+            spark.sparkContext.setCheckpointDir(prior_ckpt_dir)
+        except Exception:  # pragma: no cover - py4j null handling drift
+            pass
     if not converged:
         warnings.warn(
             f"connected_components: edge set did not reach a fixpoint within "

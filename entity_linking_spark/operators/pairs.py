@@ -20,16 +20,31 @@ def candidate_pairs(
     id_col: str = "id",
     key_col: str = "block_key",
     keep_key: bool = False,
+    with_count: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b [, block_key]) with id_a < id_b, distinct pairs.
+    """(id_a, id_b [, block_key | n_shared]) with id_a < id_b, distinct pairs.
 
     The shuffle is keyed on ``block_key`` (north_rule: shuffle partitioning
     keyed on blocking keys) — both sides of the self-join co-partition on
     the same key so the join itself is local to each shuffle partition.
+
+    ``with_count=True`` adds ``n_shared`` — how many blocking keys the two
+    ids co-occur in (the raw material of the pair prior features,
+    ``scoring.pair_features``). Same cost as the default: the dedup IS a
+    groupBy on (id_a, id_b) either way, counting rides the same shuffle.
+    Mutually exclusive with ``keep_key`` (an aggregated pair has no single
+    block key).
     """
     a = blocks.select(F.col(id_col).alias("id_a"), F.col(key_col).alias(key_col))
     b = blocks.select(F.col(id_col).alias("id_b"), F.col(key_col).alias(key_col))
     pairs = a.join(b, key_col).where(F.col("id_a") < F.col("id_b"))
+    if with_count:
+        if keep_key:
+            raise ValueError("candidate_pairs: keep_key and with_count are "
+                             "mutually exclusive")
+        return pairs.groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_shared")
+        )
     cols = ["id_a", "id_b"] + ([key_col] if keep_key else [])
     return pairs.select(*cols).dropDuplicates(["id_a", "id_b"])
 

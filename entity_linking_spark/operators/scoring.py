@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from entity_linking_spark.functions.similarity import (
+    cosine_arrays,
+    dot_arrays,
     jaro_winkler,
     lev_ratio_cost2,
     lev_ratio_unit,
@@ -51,6 +53,10 @@ def doc_payload(
     text_col: str = "text",
     topk: int = 0,
     hash_tokens: bool = True,
+    embeddings: DataFrame | None = None,
+    emb_dim: int = 0,
+    emb_broadcast: bool = True,
+    emb_skip_stopwords: bool = True,
 ) -> DataFrame:
     """Per-document scoring payload: head, top-k token set, TF-IDF map.
 
@@ -88,6 +94,24 @@ def doc_payload(
     64-entry maps is ~2^-52 — it would perturb one cosine, not
     correctness of the pipeline. Set False to keep inspectable
     token-string keys.
+
+    ``embeddings`` (optional) adds a pooled document-embedding column
+    ``emb`` (``array<float>``, length ``emb_dim``) — the reference's
+    ``_f_to_vec`` pooling (``/root/reference/src/simple_dataset.py:
+    133-144``): the IDF·term-count-weighted sum of per-token word
+    vectors, stopwords and out-of-vocabulary tokens contributing zero
+    (the reference maps both to its ``<PAD>`` vector, which is zeros —
+    ``src/data_fetchers.py:70``). Expects ``(token, embedding)`` rows —
+    the exact shape ``sources.glove.read_glove`` produces. ``emb_dim``
+    must be given (it sizes the per-dimension aggregate expressions; an
+    inference pass would cost a job). Pooling shape at scale: the
+    aggregation is ``emb_dim`` map-side-combinable SUMs over the tf long
+    table — no posexplode row blowup — and the vector table joins
+    broadcast by default (400k-token GloVe ≈ tens of MB as float);
+    ``emb_broadcast=False`` switches to a token-keyed shuffle join for
+    vocabularies that outgrow executor memory. The stored vector is
+    float32 (the reference's torch dtype), bounding the payload delta to
+    ``4·emb_dim`` bytes per doc on each side of every pair.
     """
     toks = pages.select(
         F.col(id_col).alias("id"), words(F.col(text_col)).alias("tokens")
@@ -151,7 +175,7 @@ def doc_payload(
     # array doubled the payload's string bytes, which are shuffled onto
     # both sides of every pair — round-3 scaling fix).
     key_t = "bigint" if hash_tokens else "string"
-    return slim.join(tfidf, "id", "left").select(
+    out = slim.join(tfidf, "id", "left").select(
         "id",
         "head",
         "token_cnt",
@@ -159,6 +183,48 @@ def doc_payload(
             "tfidf", F.create_map().cast(f"map<{key_t},double>")
         ).alias("tfidf"),
     )
+    if embeddings is not None:
+        if emb_dim <= 0:
+            raise ValueError(
+                "doc_payload: embeddings given but emb_dim not set — pass "
+                "the vector dimension explicitly (it sizes the pooling "
+                "aggregate; inferring it would cost a job)"
+            )
+        evec = embeddings.select(
+            F.col("token"), F.col("embedding").alias("_v")
+        )
+        if emb_skip_stopwords:
+            from entity_linking_spark.functions.text import STOPWORDS
+
+            evec = evec.where(~F.col("token").isin(STOPWORDS))
+        if emb_broadcast:
+            evec = F.broadcast(evec)
+        # Σ tf·idf·vec over the doc's tokens as emb_dim per-dim SUM
+        # aggregates (map-side partial agg, no row blowup); double
+        # accumulation, float32 storage
+        w = F.col("tf") * F.col("idf")
+        pooled = (
+            tf.join(F.broadcast(idf), "token")
+            .join(evec, "token")
+            .groupBy("id")
+            .agg(
+                *[
+                    F.sum(F.col("_v")[i].cast("double") * w).alias(f"_e{i}")
+                    for i in range(emb_dim)
+                ]
+            )
+            .select(
+                "id",
+                F.array(
+                    *[F.col(f"_e{i}") for i in range(emb_dim)]
+                ).cast("array<float>").alias("emb"),
+            )
+        )
+        zero_vec = F.array_repeat(F.lit(0.0), emb_dim).cast("array<float>")
+        out = out.join(pooled, "id", "left").withColumn(
+            "emb", F.coalesce("emb", zero_vec)
+        )
+    return out
 
 
 def pair_features(
@@ -181,9 +247,45 @@ def pair_features(
                           ~240µs/pair vs ~ns.
       jw_sim           — Jaro-Winkler of the head tokens (north_star add)
       tfidf_norm_a/b   — TF-IDF L2 norms (ref: candidate_tfidf_norm)
+
+    When the payload carries an ``emb`` column (``doc_payload(embeddings=
+    ...)``) two embedding-similarity features are added — the reference's
+    wiki2vec pair features (``src/simple_dataset.py:197-203``, names
+    ``src/ltr_bow.py:27-30``) and the north star's "embedding similarity":
+      emb_dot          — dot of the pooled doc vectors (ref:
+                          mention_wiki2vec_dot — cand_vec.dot(mention_vec))
+      emb_cos          — unit-normalized dot with the reference's NaN→0
+                          guard (ref: mention_wiki2vec_dot_unit)
+    Both are codegen array algebra (zip_with + aggregate) — no Python.
+
+    When the pairs carry ``n_shared`` (``candidate_pairs(with_count=
+    True)`` — the number of blocking keys the two pages co-occur in) two
+    prior features are added (reference features 7-8, ``src/ltr_bow.py:
+    25-26``; built from the mention→entity co-occurrence counts,
+    ``src/simple_dataset.py:190-196`` — the web-page analog is block-key
+    co-occurrence):
+      prior            — n_shared normalized over id_a's candidate set
+                          (one window sum — the oracle-checked
+                          prior_normalized aggregation shape)
+      times_mentioned  — id_a's total co-occurrence mass Σ n_shared
+                          (ref: sum of the prior counts)
     """
+    from pyspark.sql import Window
+
+    has_emb = "emb" in payload.columns
+    if "n_shared" in pairs.columns:
+        w = Window.partitionBy("id_a")
+        total = F.sum("n_shared").over(w)
+        # the window shuffles on id_a, which the id_a payload join below
+        # reuses — one exchange serves both
+        pairs = pairs.withColumn(
+            "prior", F.col("n_shared") / total
+        ).withColumn("times_mentioned", total).drop("n_shared")
     p = attach_pair_payload(
-        pairs, payload, "id", ["head", "token_cnt", "tfidf"]
+        pairs,
+        payload,
+        "id",
+        ["head", "token_cnt", "tfidf"] + (["emb"] if has_emb else []),
     )
     head_a, head_b = F.col("head_a"), F.col("head_b")
     # the token set IS the tfidf map's key set — no separate array column
@@ -196,7 +298,7 @@ def pair_features(
         if use_cost2_lev
         else lev_ratio_unit(head_a, head_b)
     )
-    return (
+    out = (
         p.withColumn("tfidf_cos", tfidf_cosine_maps(F.col("tfidf_a"), F.col("tfidf_b")))
         .withColumn("jaccard", F.when(uni == 0, 0.0).otherwise(inter / uni))
         .withColumn("str_sim", str_sim)
@@ -207,6 +309,15 @@ def pair_features(
         .withColumnRenamed("token_cnt_b", "mention_token_cnt")
         .drop("head_a", "head_b", "tfidf_a", "tfidf_b")
     )
+    if has_emb:
+        ea = F.col("emb_a").cast("array<double>")
+        eb = F.col("emb_b").cast("array<double>")
+        out = (
+            out.withColumn("emb_dot", dot_arrays(ea, eb))
+            .withColumn("emb_cos", cosine_arrays(ea, eb))
+            .drop("emb_a", "emb_b")
+        )
+    return out
 
 
 def linear_score(weights: dict[str, float] | None = None) -> Column:
@@ -427,15 +538,27 @@ def ranking_metrics(
 
     Distributed shape: one window rank keyed on the group + one
     aggregate; only the three scalars reach the driver. Ties in
-    ``score_col`` break on ``tiebreak_col`` when given (pass a stable id
-    for data-deterministic results), otherwise ties are partition-order
-    dependent.
+    ``score_col`` break on ``tiebreak_col`` when given — pass a stable,
+    label-independent id column (NOT the label: tiebreaking on the label
+    would bias p@1 upward). Without one, tied scores make the metrics
+    partition-order dependent, so a warning is emitted rather than
+    silently returning a nondeterministic number (round-4 verdict:
+    determinism guard).
     """
+    import warnings
+
     from pyspark.sql import Window
 
     order = [F.col(score_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
+    else:
+        warnings.warn(
+            "ranking_metrics: no tiebreak_col — tied scores rank in "
+            "partition order, making p@1/MRR nondeterministic across "
+            "runs; pass a stable, label-independent id column",
+            stacklevel=2,
+        )
     w = Window.partitionBy(group_col).orderBy(*order)
     ranked = scored.select(
         F.col(group_col).alias("_g"),

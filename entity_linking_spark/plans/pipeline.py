@@ -42,23 +42,91 @@ from entity_linking_spark.operators.scoring import (
 )
 
 
+def _conf_bytes(raw: str) -> int:
+    """Parse a Spark size conf value ("128MB", "134217728b", "4m")."""
+    s = raw.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    for suf, mult in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
+def estimated_scan_width(df: DataFrame) -> int | None:
+    """Estimate how many NON-EMPTY scan tasks a file-backed frame yields.
+
+    Mirrors Spark's FilePartition split math — ``maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))``
+    — and caps each parquet file's useful splits at its row-group count:
+    byte-range splits beyond the row groups produce empty tasks, which is
+    exactly the single-row-group pathology ``_widen_input`` exists for
+    (and why raw file count under-counts a large multi-row-group file —
+    round-4 advice). Returns ``None`` when the estimate isn't cheaply
+    available (in-memory frame, non-local scheme, unreadable footer);
+    callers then fall back to the file-count heuristic.
+    """
+    import math
+    import os
+    from urllib.parse import unquote, urlparse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    try:
+        max_pb = _conf_bytes(conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = _conf_bytes(conf.get("spark.sql.files.openCostInBytes"))
+    except Exception:
+        max_pb, open_cost = 128 * 1024**2, 4 * 1024**2
+    sizes: list[int] = []
+    row_groups: list[int | None] = []
+    for f in files:
+        pr = urlparse(f)
+        if pr.scheme not in ("", "file"):
+            return None  # remote store: stat/footer not cheap from driver
+        p = unquote(pr.path) or f
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None
+        if p.endswith(".parquet"):
+            try:
+                import pyarrow.parquet as pq
+
+                row_groups.append(pq.ParquetFile(p).metadata.num_row_groups)
+            except Exception:
+                row_groups.append(None)
+        else:
+            row_groups.append(None)
+    n_par = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    total = sum(sizes) + open_cost * len(files)
+    max_split = min(max_pb, max(open_cost, total // n_par))
+    width = 0
+    for size, rgs in zip(sizes, row_groups):
+        splits = max(1, math.ceil(size / max(max_split, 1)))
+        width += min(splits, rgs) if rgs else splits
+    return width
+
+
 def _widen_input(pages: DataFrame) -> DataFrame:
     """Repartition a narrow input to cluster parallelism.
 
-    A single large parquet file splits into only a handful of scan
-    partitions (128 MB each), which starves the CPU-heavy map work
-    (tokenize + shingle + 16 md5s/shingle) of cores — measured 185s on 7
-    of 32 cores vs ~50s wide. One cheap input shuffle fixes it; on a real
-    cluster with many files this is a no-op.
+    A single-row-group parquet file is read by ONE non-empty scan task no
+    matter how Spark splits its byte ranges, which starves the CPU-heavy
+    map work (tokenize + shingle + 16 md5s/shingle) of cores — measured
+    185s on 7 of 32 cores vs ~50s wide. One cheap input shuffle fixes it;
+    on a real cluster with many files this is a no-op.
+
+    The narrowness test is ``estimated_scan_width`` (split math + parquet
+    row-group cap), NOT raw file count: a few large multi-row-group files
+    already scan wide and must not pay a needless full-corpus shuffle,
+    and in-memory frames (zero files) inherit their source parallelism
+    and are left alone (round-4 advice).
     """
     n_par = pages.sparkSession.sparkContext.defaultParallelism
-    # file count, not rdd.getNumPartitions(): the RDD conversion forces a
-    # full plan analysis + Row-serializer setup on the driver (~1.9s cold,
-    # measured) for a number we only need approximately. A file-backed
-    # input with fewer files than cores is narrow (single-file local
-    # tables scan as ONE partition); a non-file input (in-memory test
-    # frames) reports zero files and is also safe to widen.
-    if len(pages.inputFiles()) < n_par:
+    width = estimated_scan_width(pages)
+    if width is not None and width < n_par:
         return pages.repartition(n_par)
     return pages
 
@@ -98,6 +166,30 @@ class LinkageConfig:
     # multi-core executors (cold flagship 43.0s -> 28.5s same-hour A/B);
     # set 1 on 1-core/small-heap executors (see connected_components).
     cc_fuse_rounds: int = 2
+    # bigint tfidf map keys (xxhash64 of the token) in the scoring
+    # payload — key-identity algebra downstream, ~20% smaller shuffle
+    # bytes (round-4 scaling fix). Set False to keep inspectable
+    # token-string keys; NOTE the payload schema changes with this flag
+    # (map<bigint,double> vs map<string,double>), so external readers of
+    # a persisted payload stage must match it (checkpoint digests cover
+    # the pipeline's own stages).
+    hash_tokens: bool = True
+    # embedding-similarity pair features (emb_dot / emb_cos — the
+    # reference's wiki2vec features and the north star's "embedding
+    # similarity"): set to the word-vector dimension and pass the
+    # (token, embedding) table as link_pages(embeddings=...). 0 = off.
+    emb_dim: int = 0
+    # block-key co-occurrence prior features (prior / times_mentioned —
+    # reference features 7-8): counts how many blocking keys each pair
+    # co-occurs in, normalized per left page. Same shuffle cost as the
+    # pair dedup it replaces.
+    prior_features: bool = False
+    # working-id width. 64 (default): xxhash64-folded ids — collision
+    # math ~n²/2^65 ≈ 3 expected silent pair-merges at 10^10 docs.
+    # 128: two-seed xxhash64 struct ids through blocking/pairs/CC —
+    # birthday-safe at the north star's 10^12 docs (~10^-15 expected
+    # collisions). Integral inputs skip hashing entirely either way.
+    id_bits: int = 64
     weights: dict[str, float] = field(default_factory=lambda: dict(DEFAULT_WEIGHTS))
     # learned scorer — linear (TrainedScorer) or tree-ensemble (GBTScorer);
     # takes precedence over fixed weights; its own probability threshold
@@ -115,12 +207,19 @@ def link_pages(
     text_col: str = "text",
     url_col: str | None = "url",
     config: LinkageConfig | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """→ (id, cluster_id): cluster_id = min member id in the component.
 
     All eval-path stages are deterministic (no rand(); caps use stable
     hash order — reference shuffles candidates only for training,
     /root/reference/src/data_fetchers.py:147-149).
+
+    ``embeddings``: optional (token, embedding) word-vector table (the
+    ``sources.glove.read_glove`` shape); with ``config.emb_dim`` set it
+    activates the emb_dot/emb_cos pair features (see
+    ``operators.scoring.doc_payload``). Passed as an argument, not on the
+    config, so LinkageConfig stays a digestible value object.
     """
     cfg = config or LinkageConfig()
     # prune to what the pipeline reads BEFORE widening/persisting — the
@@ -134,19 +233,28 @@ def link_pages(
     # are typically ~40-byte URLs. xxhash64 folds them to 8 bytes for
     # the whole pipeline interior; original ids (and the documented
     # "cluster_id = min member id" representative) are restored by two
-    # tiny end-stage joins over one row per page. Id collisions are
-    # ~n^2/2^65 (≈3 expected at 10^10 docs — switch _nid to a 128-bit
-    # pair of hashes beyond that; the structure is unchanged).
+    # tiny end-stage joins over one row per page. Id collisions at 64
+    # bits are ~n^2/2^65 (≈3 expected silent merges at 10^10 docs);
+    # ``config.id_bits=128`` switches to a two-seed xxhash64 struct —
+    # 16 bytes, birthday-safe at the north star's 10^12 docs — which
+    # flows through blocking/pairs/CC unchanged (struct ids group, join,
+    # compare and hash natively; tests/test_e2e_f1.py proves 64- and
+    # 128-bit runs produce identical clusters).
     # Already-integral ids ARE 8 bytes: use them directly (order-
     # preserving, collision-free) and skip both the hash and the
     # end-stage representative restore (min _nid == min id).
     from pyspark.sql.types import IntegralType
 
     ids_integral = isinstance(pages.schema[id_col].dataType, IntegralType)
-    nid = (
-        F.col(id_col).cast("bigint") if ids_integral
-        else F.xxhash64(F.col(id_col))
-    )
+    if ids_integral:
+        nid = F.col(id_col).cast("bigint")
+    elif cfg.id_bits >= 128:
+        nid = F.struct(
+            F.xxhash64(F.col(id_col)).alias("h1"),
+            F.xxhash64(F.col(id_col), F.lit(1)).alias("h2"),
+        )
+    else:
+        nid = F.xxhash64(F.col(id_col))
     work = pages.withColumn("_nid", nid)
     blocks = salt_mega_blocks(
         block_keys(
@@ -166,9 +274,15 @@ def link_pages(
     # persist again post-cap: the pair self-join consumes it from both
     # sides (the two exchanges differ by projection, so AQE cannot reuse)
     blocks = cap_block_size(blocks, max_block=cfg.max_block).persist()
-    pairs = candidate_pairs(blocks)
+    pairs = candidate_pairs(blocks, with_count=cfg.prior_features)
     payload = doc_payload(
-        work, id_col="_nid", text_col=text_col, topk=cfg.payload_topk
+        work,
+        id_col="_nid",
+        text_col=text_col,
+        topk=cfg.payload_topk,
+        hash_tokens=cfg.hash_tokens,
+        embeddings=embeddings,
+        emb_dim=cfg.emb_dim if embeddings is not None else 0,
     ).persist()
     scored = score_pairs(pairs, payload, weights=cfg.weights, model=cfg.model)
     edges = scored.where(F.col("score") >= cfg.edge_threshold).select(
@@ -203,6 +317,7 @@ def score_candidate_pairs(
     text_col: str = "text",
     url_col: str | None = "url",
     config: LinkageConfig | None = None,
+    embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """Intermediate product: scored candidate pairs (id_a, id_b, features, score)."""
     cfg = config or LinkageConfig()
@@ -220,9 +335,15 @@ def score_candidate_pairs(
     )
     blocks = salt_mega_blocks(blocks, max_block=cfg.max_block, n_salts=cfg.n_salts)
     blocks = cap_block_size(blocks, max_block=cfg.max_block)
-    pairs = candidate_pairs(blocks)
+    pairs = candidate_pairs(blocks, with_count=cfg.prior_features)
     payload = doc_payload(
-        pages, id_col=id_col, text_col=text_col, topk=cfg.payload_topk
+        pages,
+        id_col=id_col,
+        text_col=text_col,
+        topk=cfg.payload_topk,
+        hash_tokens=cfg.hash_tokens,
+        embeddings=embeddings,
+        emb_dim=cfg.emb_dim if embeddings is not None else 0,
     )
     return score_pairs(pairs, payload, weights=cfg.weights, model=cfg.model)
 

@@ -26,6 +26,11 @@ def main() -> None:
     mode = sys.argv[1]
     n = int(sys.argv[2])
     pages_path = sys.argv[3]
+    # cores per executor (cluster mode only; default 1 = the round-3/4
+    # legs). Multi-core executors match real deployments more closely —
+    # one JVM serial floor (codegen cache, GC, shuffle server) amortizes
+    # over `cores` tasks instead of being paid once per core.
+    cores = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     sys.path.insert(0, ".")
     from entity_linking_spark.plans.pipeline import LinkageConfig, link_pages
     from entity_linking_spark.session import get_spark
@@ -33,15 +38,16 @@ def main() -> None:
     if mode == "cluster":
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         spark = get_spark(
-            f"scale-cluster{n}",
-            # worker gets 4608 MB; executor heap must be set explicitly —
-            # the local-cluster memory arg only sizes the Worker, and the
-            # executor would otherwise default to 1g and OOM its hash maps
-            master=f"local-cluster[{n},1,4608]",
-            shuffle_partitions=4 * n,
+            f"scale-cluster{n}x{cores}",
+            # worker gets 4608 MB/core; executor heap must be set
+            # explicitly — the local-cluster memory arg only sizes the
+            # Worker, and the executor would otherwise default to 1g and
+            # OOM its hash maps
+            master=f"local-cluster[{n},{cores},{4608 * cores}]",
+            shuffle_partitions=4 * n * cores,
             extra_conf={
                 "spark.executorEnv.PYTHONPATH": repo,
-                "spark.executor.memory": "4g",
+                "spark.executor.memory": f"{4 * cores}g",
             },
         )
     else:
@@ -61,6 +67,7 @@ def main() -> None:
             {
                 "mode": mode,
                 "n": n,
+                "cores_per_executor": cores if mode == "cluster" else None,
                 "docs": n_docs,
                 "seconds": round(secs, 3),
                 "docs_per_sec": round(n_docs / secs, 2),

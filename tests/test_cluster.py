@@ -8,6 +8,7 @@ per FIXTURES.md §7.
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from entity_linking_spark.operators.cluster import connected_components
@@ -34,11 +35,11 @@ def _union_find(n_nodes, edges):
     return {x: find(x) for x in parent}
 
 
-def _check(spark, edges):
+def _check(spark, edges, **cc_kwargs):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, **cc_kwargs).collect()
     }
     exp = _union_find(None, edges)
     # union-find roots are the min of each component because union() always
@@ -114,3 +115,38 @@ def test_reliable_checkpoint_dir(spark, tmp_path):
         f for root, _, files in os.walk(ckdir) for f in files
     ]
     assert found, "no checkpoint files written to checkpoint_dir"
+    # superseded round checkpoints are deleted (round-4 advice): only the
+    # live set remains — raw + the final edge set — not O(rounds) copies
+    rdd_dirs = [
+        d for root, dirs, _ in os.walk(ckdir) for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) <= 2, rdd_dirs
+    # the session checkpoint dir is handed back (no global clobber)
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert not (opt.isDefined() and "cc_ckpt" in opt.get()), (
+        "connected_components left its checkpoint dir set on the context"
+    )
+
+
+@pytest.mark.parametrize("fuse_rounds", [1, 2, 3])
+@pytest.mark.parametrize("reliable", [False, True])
+def test_fuse_rounds_parity(spark, tmp_path, fuse_rounds, reliable):
+    # the documented 1-core-executor knob (operators/cluster.py fuse_rounds)
+    # must be a pure performance choice: every fuse factor — with both the
+    # localCheckpoint and reliable-checkpoint lineage truncation — yields
+    # the identical component assignment on a graph mixing a chain
+    # (worst-case diameter), a star (skew), self-loops and duplicates
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(25)]          # chain
+    edges += [(200, 200 + i) for i in range(1, 20)]  # star
+    edges += [(3, 3), (10, 11), (11, 10)]            # self-loop + dups
+    edges += [
+        (rng.randrange(400, 450), rng.randrange(400, 450)) for _ in range(40)
+    ]
+    kwargs = {"fuse_rounds": fuse_rounds}
+    if reliable:
+        kwargs["checkpoint_dir"] = str(
+            tmp_path / f"cc_fuse{fuse_rounds}"
+        )
+    _check(spark, [(a, b) for a, b in edges if a != b or a == 3], **kwargs)

@@ -153,3 +153,30 @@ def test_learned_scorers_rank_qid_groups(corpus, spark, tmp_path_factory):
         assert m["p_at_1"] >= 0.95, (m, base)
         assert m["mrr"] >= m["p_at_1"] - 1e-9
     feats.unpersist()
+
+
+def test_ranking_metrics_tie_determinism_guard(spark):
+    # round-4 verdict item 8: tied scores without a tiebreak column are
+    # partition-order dependent — the API must not be silently
+    # nondeterministic. Deliberate ties in every group:
+    import warnings
+
+    from entity_linking_spark.operators.scoring import ranking_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.5, 1, "a"), (1, 0.5, 0, "b"),
+            (2, 0.5, 0, "a"), (2, 0.5, 1, "b"),
+        ],
+        "qid long, score double, label long, cand string",
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ranking_metrics(df)
+    assert any("tiebreak" in str(w.message) for w in rec)
+    # with a stable tiebreak the tied groups resolve deterministically:
+    # 'a' ranks first in both groups -> g1 hit, g2 first positive at rank 2
+    m = ranking_metrics(df, tiebreak_col="cand")
+    assert m["p_at_1"] == pytest.approx(0.5)
+    assert m["mrr"] == pytest.approx((1.0 + 0.5) / 2)
+    assert ranking_metrics(df, tiebreak_col="cand") == m

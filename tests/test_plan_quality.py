@@ -92,3 +92,56 @@ def test_payload_is_topk_bounded(spark, sf_dir):
         F.max(F.size(F.map_keys("tfidf"))).alias("max_map")
     ).collect()[0]
     assert row["max_map"] <= 8
+
+
+def test_widen_input_scan_width_estimate(spark, tmp_path):
+    # round-4 advice: the narrowness test must see through file count —
+    # one large MULTI-row-group file already scans wide (no shuffle), one
+    # single-row-group file is narrow (widen), and in-memory frames are
+    # left alone entirely
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entity_linking_spark.plans.pipeline import (
+        _widen_input,
+        estimated_scan_width,
+    )
+
+    n_par = spark.sparkContext.defaultParallelism
+    tbl = pa.table(
+        {"id": list(range(20_000)), "text": ["lorem ipsum dolor"] * 20_000}
+    )
+
+    wide = str(tmp_path / "wide.parquet")
+    pq.write_table(tbl, wide, row_group_size=500)
+    narrow = str(tmp_path / "narrow.parquet")
+    pq.write_table(tbl, narrow, row_group_size=1_000_000)
+
+    # shrink the split confs so the ~200 KB test file behaves like a
+    # multi-GB production file relative to maxPartitionBytes
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.openCostInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1024")
+    try:
+        df_wide = spark.read.parquet(wide)
+        assert estimated_scan_width(df_wide) >= n_par
+        assert _widen_input(df_wide) is df_wide  # already wide: no shuffle
+
+        # same bytes, ONE row group: byte-range splits all map to it, so
+        # the estimate is 1 regardless of file size -> widen
+        df_narrow = spark.read.parquet(narrow)
+        assert estimated_scan_width(df_narrow) == 1
+        assert _widen_input(df_narrow).rdd.getNumPartitions() == n_par
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    mem = spark.createDataFrame([(1, "a")], "id long, text string")
+    assert estimated_scan_width(mem) is None
+    assert _widen_input(mem) is mem  # no needless full-frame shuffle
