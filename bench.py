@@ -68,20 +68,17 @@ def main() -> None:
     from entity_linking_spark.session import get_spark
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
-    # JIT/codegen warmup: run the flagship once at the smallest SF before
-    # timing anything. A cold JVM spends ~2x wall on the same stages
-    # (whole-stage-codegen compilation, C2 JIT, Arrow init) — a harness
-    # artifact of a 30s single-process benchmark that amortizes to zero
-    # at production scale, so the timed queries below measure steady-state
-    # throughput. Disclosed in the output as warmup_sec, NOT counted in
-    # any query time or the headline total.
+    # The warmup IS a timed cold flagship run at the bench SF (round-4
+    # verdict: keep cross-round artifacts comparable). A cold JVM spends
+    # ~2x wall on the same stages (whole-stage-codegen compilation, C2
+    # JIT, Arrow init) — a harness artifact of a 30s single-process
+    # benchmark that amortizes to zero at production scale — so the
+    # headline queries below measure steady-state throughput, while
+    # flagship_cold_sec preserves the round-3 cold-protocol number. It is
+    # NOT counted in any query time or the headline total.
     t0 = time.time()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        pipeline_query(spark, warm_dir).count()
-    else:
-        spark.range(1000).select(F.sum("id")).collect()
-    warmup_sec = round(time.time() - t0, 3)
+    pipeline_query(spark, sf_dir).count()
+    flagship_cold_sec = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -106,7 +103,10 @@ def main() -> None:
         "cpus": cpus,
         "docs": n_docs,
         "pipeline_docs_per_sec": round(n_docs / timings["linkage_pipeline"], 2),
-        "warmup_sec": warmup_sec,
+        # cold = first flagship run in the JVM (r3-comparable protocol);
+        # it doubles as the JIT warmup for the steady-state timings above
+        "flagship_cold_sec": flagship_cold_sec,
+        "warmup_sec": flagship_cold_sec,
     }
     print(json.dumps(out))
 

@@ -286,6 +286,7 @@ def run_linkage_checkpointed(
     text_col: str = "text",
     url_col: str | None = "url",
     bucketed: bool = True,
+    dual_bucket: bool = False,
     embeddings: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship pipeline with every stage checkpointed + resumable.
@@ -299,6 +300,16 @@ def run_linkage_checkpointed(
     scored stage; the removed exchange ships the full payload at scale).
     Set False for plain-parquet stages (portable to engines that cannot
     read Spark bucket metadata).
+
+    ``dual_bucket`` (requires ``bucketed``): additionally persist a
+    ``pairs_payload_a`` stage — pairs with prior features + the id_a-side
+    payload attached — bucketed on ``id_b``. Building it is exchange-free
+    (pairs bucketed id_a ⋈ payload bucketed id), its WRITE performs the
+    id_b re-key once, and the scored stage then schedules ZERO exchanges
+    (round-4 verdict task 5; single-bucket stops at 1). Same cold-run
+    data movement, but the re-key becomes a compressed resumable stage
+    instead of a transient shuffle, and a resumed run re-enters scoring
+    with no exchange at all.
 
     Config knobs that change a persisted stage's SCHEMA are honored and
     digest-covered here (round-4 advice): ``cfg.hash_tokens`` (payload
@@ -332,8 +343,11 @@ def run_linkage_checkpointed(
             "pipeline_version": 3,
             # layout change invalidates stages written the other way
             "bucketed": bucketed,
+            "dual_bucket": dual_bucket,
         }
     )
+    if dual_bucket and not bucketed:
+        raise ValueError("dual_bucket requires bucketed=True")
 
     blocks = ckpt.stage(
         "blocks",
@@ -380,6 +394,16 @@ def run_linkage_checkpointed(
     else:
         pairs = ckpt.stage("pairs", build_pairs, digest=dig)
         payload = ckpt.stage("payload", build_payload, digest=dig)
+    if dual_bucket:
+        from entity_linking_spark.operators.scoring import pair_payload_half
+
+        raw_pairs = pairs
+        pairs = ckpt.bucketed_stage(
+            "pairs_payload_a",
+            lambda: pair_payload_half(raw_pairs, payload),
+            bucket_by="id_b",
+            digest=dig,
+        )
     scored = ckpt.stage(
         "scored",
         lambda: score_pairs(

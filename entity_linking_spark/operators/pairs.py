@@ -54,19 +54,21 @@ def attach_pair_payload(
     payload: DataFrame,
     id_col: str,
     payload_cols: list[str],
+    sides: tuple[str, ...] = ("a", "b"),
 ) -> DataFrame:
-    """Join per-record payload columns onto both sides of a pair table.
+    """Join per-record payload columns onto the pair table's sides.
 
-    Produces ``<col>_a`` / ``<col>_b`` for each payload column. Two shuffles
-    keyed on id — at scale, pre-bucketing the payload table on ``id_col``
-    makes both joins co-located.
-    """
-    pa = payload.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
-    )
-    pb = payload.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
-    )
-    return pairs.join(pa, "id_a").join(pb, "id_b")
+    Produces ``<col>_a`` / ``<col>_b`` for each payload column. One shuffle
+    per side keyed on id — at scale, pre-bucketing the payload table on
+    ``id_col`` makes both joins co-located. ``sides`` restricts the
+    attachment (the dual-bucket checkpoint layout attaches the ``a`` side
+    in its own stage, persisted bucketed on ``id_b``, so the scored stage
+    joins only the ``b`` side — exchange-free on both inputs)."""
+    out = pairs
+    for s in sides:
+        ps = payload.select(
+            F.col(id_col).alias(f"id_{s}"),
+            *[F.col(c).alias(f"{c}_{s}") for c in payload_cols],
+        )
+        out = out.join(ps, f"id_{s}")
+    return out

@@ -227,6 +227,44 @@ def doc_payload(
     return out
 
 
+def _with_prior_features(pairs: DataFrame) -> DataFrame:
+    """n_shared → (prior, times_mentioned); see :func:`pair_features`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a")
+    total = F.sum("n_shared").over(w)
+    # the window shuffles on id_a, which the id_a payload join reuses
+    # (or reads exchange-free when pairs are bucketed on id_a) — one
+    # exchange serves both
+    return (
+        pairs.withColumn("prior", F.col("n_shared") / total)
+        .withColumn("times_mentioned", total)
+        .drop("n_shared")
+    )
+
+
+def pair_payload_half(pairs: DataFrame, payload: DataFrame) -> DataFrame:
+    """Pairs with prior features + the id_a-side payload attached.
+
+    The dual-bucket checkpoint layout (``run_linkage_checkpointed(
+    dual_bucket=True)``) persists this frame bucketed on ``id_b``: with
+    pairs bucketed on ``id_a`` and payload on ``id``, building it is
+    exchange-free, the bucketed WRITE performs the id_b re-key that the
+    scored stage would otherwise pay as a transient exchange, and the
+    downstream ``pair_features`` then joins only the ``id_b`` payload
+    side — scheduled exchanges in the scored stage drop to ZERO (the
+    round-4 verdict's named next lever). Net data movement on a cold run
+    is the same; the win is that the re-key is now a compressed,
+    resumable stage instead of an in-flight shuffle at feature time.
+    """
+    if "n_shared" in pairs.columns:
+        pairs = _with_prior_features(pairs)
+    cols = ["head", "token_cnt", "tfidf"] + (
+        ["emb"] if "emb" in payload.columns else []
+    )
+    return attach_pair_payload(pairs, payload, "id", cols, sides=("a",))
+
+
 def pair_features(
     pairs: DataFrame,
     payload: DataFrame,
@@ -270,22 +308,20 @@ def pair_features(
       times_mentioned  — id_a's total co-occurrence mass Σ n_shared
                           (ref: sum of the prior counts)
     """
-    from pyspark.sql import Window
-
-    has_emb = "emb" in payload.columns
     if "n_shared" in pairs.columns:
-        w = Window.partitionBy("id_a")
-        total = F.sum("n_shared").over(w)
-        # the window shuffles on id_a, which the id_a payload join below
-        # reuses — one exchange serves both
-        pairs = pairs.withColumn(
-            "prior", F.col("n_shared") / total
-        ).withColumn("times_mentioned", total).drop("n_shared")
+        pairs = _with_prior_features(pairs)
+    has_emb = "emb" in payload.columns or "emb_a" in pairs.columns
+    # the dual-bucket checkpoint layout persists pairs WITH the a-side
+    # payload already attached (pair_payload_half, bucketed on id_b) —
+    # attach only the sides still missing
+    sides = tuple(s for s in ("a", "b") if f"head_{s}" not in pairs.columns)
     p = attach_pair_payload(
         pairs,
         payload,
         "id",
-        ["head", "token_cnt", "tfidf"] + (["emb"] if has_emb else []),
+        ["head", "token_cnt", "tfidf"]
+        + (["emb"] if "emb" in payload.columns else []),
+        sides=sides,
     )
     head_a, head_b = F.col("head_a"), F.col("head_b")
     # the token set IS the tfidf map's key set — no separate array column

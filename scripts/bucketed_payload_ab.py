@@ -84,8 +84,22 @@ def main() -> None:
         ).count()
         return round(time.time() - t0, 2)
 
+    # dual-bucket (round-4 verdict task 5): persist the id_a-side-attached
+    # half bucketed on id_b — the write performs the re-key ONCE, after
+    # which the scored stage schedules zero exchanges
+    from entity_linking_spark.operators.scoring import pair_payload_half
+
+    spark.sql("DROP TABLE IF EXISTS half_b")
+    t0 = time.time()
+    pair_payload_half(
+        spark.table("pairs_b"), spark.table("payload_b")
+    ).write.mode("overwrite").bucketBy(n_buckets, "id_b").sortBy(
+        "id_b"
+    ).saveAsTable("half_b")
+    half_write_sec = round(time.time() - t0, 2)
+
     results = {}
-    # alternate A/B twice to bound host drift within the measurement
+    # alternate A/B/C twice to bound host drift within the measurement
     for rep in (1, 2):
         a_pairs = spark.read.parquet(f"{base}/pairs_plain")
         a_payload = spark.read.parquet(f"{base}/payload_plain")
@@ -93,9 +107,16 @@ def main() -> None:
         results[f"bucketed_rep{rep}"] = scored_count(
             spark.table("pairs_b"), spark.table("payload_b")
         )
+        results[f"dual_rep{rep}"] = scored_count(
+            spark.table("half_b"), spark.table("payload_b")
+        )
 
     plan = (
         pair_features(spark.table("pairs_b"), spark.table("payload_b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    dual_plan = (
+        pair_features(spark.table("half_b"), spark.table("payload_b"))
         ._jdf.queryExecution().executedPlan().toString()
     )
     out = {
@@ -104,7 +125,10 @@ def main() -> None:
         "cores": cores,
         "n_buckets": n_buckets,
         "seconds": results,
+        # the dual layout's one-time re-key cost, paid at stage-write time
+        "half_write_sec": half_write_sec,
         "bucketed_plan_exchanges": plan.count("Exchange hashpartitioning"),
+        "dual_plan_exchanges": dual_plan.count("Exchange hashpartitioning"),
     }
     os.makedirs(f"{REPO}/BENCH/scaling_runs", exist_ok=True)
     stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
