@@ -224,3 +224,25 @@ def test_id_bits_128_parity(corpus):
         for r in link_pages(pages, config=LinkageConfig(id_bits=128)).collect()
     }
     assert a == b
+
+
+def test_pooled_embedding_shuffle_join_parity(spark, tiny):
+    # emb_broadcast=False (vocabularies too big for executor memory)
+    # switches the vector join to a token-keyed shuffle — values identical
+    pages, emb = tiny
+    a = {
+        r["id"]: r["emb"]
+        for r in doc_payload(
+            pages, id_col="id", embeddings=emb, emb_dim=2
+        ).collect()
+    }
+    b = {
+        r["id"]: r["emb"]
+        for r in doc_payload(
+            pages, id_col="id", embeddings=emb, emb_dim=2,
+            emb_broadcast=False,
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-6)
